@@ -1,0 +1,406 @@
+"""Generic GQA+RoPE causal decoder covering the Gemma3 and Qwen3 families.
+
+The reference loads its LLMs through HF ``AutoModelForCausalLM`` (reference:
+Stage1/train_projection_stage1.py:204-210, Stage2/train_vqa_stage2.py:169-187; models
+``google/gemma-3-1b-it`` and ``Qwen/Qwen3-8B``). Here both families are one functional
+decoder parameterized by :class:`DecoderConfig`; family differences are config flags:
+
+==================  ======================  =====================
+feature             Gemma3                  Qwen3
+==================  ======================  =====================
+rmsnorm             zero-centered (1+w)     plain (w)
+layer norms         sandwich (4 norms)      pre-LN (2 norms)
+activation          gelu_tanh               silu
+embed scale         sqrt(hidden)            none
+qk-norm             yes (head_dim)          yes (head_dim)
+attn scale          query_pre_attn^-0.5     head_dim^-0.5
+rope                local+global thetas,    single theta
+                    sliding-window layers
+==================  ======================  =====================
+
+Everything is a pure function over a nested-dict params pytree; the same ``forward`` serves
+training (full-sequence) and decoding (KV cache with ``q_offset``), including the VLM path
+where the sequence prefix is projected visual embeddings rather than token ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from projectiontrainer_tpu.ops import layers as L
+from projectiontrainer_tpu.ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float = 1e-6
+    act: str = "gelu_tanh"
+    rope_theta: float = 1_000_000.0
+    rope_local_theta: Optional[float] = None     # used by sliding layers (Gemma3)
+    rope_scaling_factor: float = 1.0             # linear rope scaling on full layers
+    layer_types: tuple = ()                      # per-layer: 'full' | 'sliding'
+    sliding_window: Optional[int] = None
+    query_pre_attn_scalar: Optional[float] = None
+    qk_norm: bool = True
+    rmsnorm_zero_centered: bool = True
+    sandwich_norms: bool = True
+    embed_scale: bool = True
+    tie_embeddings: bool = True
+    attention_bias: bool = False
+    attn_impl: str = "xla"                       # 'xla' | 'flash'
+
+    def __post_init__(self):
+        if not self.layer_types:
+            object.__setattr__(self, "layer_types", ("full",) * self.num_layers)
+        assert len(self.layer_types) == self.num_layers
+
+    @property
+    def attn_scale(self) -> float:
+        base = self.query_pre_attn_scalar if self.query_pre_attn_scalar is not None else self.head_dim
+        return float(base) ** -0.5
+
+
+def gemma3_config(
+    *, vocab_size=262_144, hidden_size=1152, intermediate_size=6912, num_layers=26,
+    num_heads=4, num_kv_heads=1, head_dim=256, sliding_window=512,
+    sliding_pattern=6, rope_theta=1_000_000.0, rope_local_theta=10_000.0,
+    rope_scaling_factor=1.0, query_pre_attn_scalar=256, **kw,
+) -> DecoderConfig:
+    """Gemma3 defaults (1B-shaped); pattern = 1 full layer per `sliding_pattern` layers."""
+    layer_types = tuple(
+        "full" if (i + 1) % sliding_pattern == 0 else "sliding" for i in range(num_layers)
+    )
+    return DecoderConfig(
+        vocab_size=vocab_size, hidden_size=hidden_size, intermediate_size=intermediate_size,
+        num_layers=num_layers, num_heads=num_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, act="gelu_tanh", rope_theta=rope_theta,
+        rope_local_theta=rope_local_theta, rope_scaling_factor=rope_scaling_factor,
+        layer_types=layer_types, sliding_window=sliding_window,
+        query_pre_attn_scalar=query_pre_attn_scalar, qk_norm=True,
+        rmsnorm_zero_centered=True, sandwich_norms=True, embed_scale=True, **kw,
+    )
+
+
+def qwen3_config(
+    *, vocab_size=151_936, hidden_size=4096, intermediate_size=12_288, num_layers=36,
+    num_heads=32, num_kv_heads=8, head_dim=128, rope_theta=1_000_000.0,
+    tie_embeddings=False, **kw,
+) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=vocab_size, hidden_size=hidden_size, intermediate_size=intermediate_size,
+        num_layers=num_layers, num_heads=num_heads, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, act="silu", rope_theta=rope_theta,
+        layer_types=("full",) * num_layers, sliding_window=None,
+        query_pre_attn_scalar=None, qk_norm=True, rmsnorm_zero_centered=False,
+        sandwich_norms=False, embed_scale=False, tie_embeddings=tie_embeddings, **kw,
+    )
+
+
+def from_hf_config(hf) -> DecoderConfig:
+    """Build a DecoderConfig from a transformers Gemma3TextConfig / Qwen3Config."""
+    model_type = getattr(hf, "model_type", "")
+    if model_type == "gemma3_text":
+        factor = 1.0
+        if getattr(hf, "rope_scaling", None):
+            factor = float(hf.rope_scaling.get("factor", 1.0))
+        layer_types = tuple(
+            "sliding" if t == "sliding_attention" else "full" for t in hf.layer_types
+        )
+        return DecoderConfig(
+            vocab_size=hf.vocab_size, hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size, num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads, num_kv_heads=hf.num_key_value_heads,
+            head_dim=hf.head_dim, rms_norm_eps=hf.rms_norm_eps, act="gelu_tanh",
+            rope_theta=hf.rope_theta, rope_local_theta=hf.rope_local_base_freq,
+            rope_scaling_factor=factor, layer_types=layer_types,
+            sliding_window=hf.sliding_window, query_pre_attn_scalar=hf.query_pre_attn_scalar,
+            qk_norm=True, rmsnorm_zero_centered=True, sandwich_norms=True, embed_scale=True,
+            tie_embeddings=getattr(hf, "tie_word_embeddings", True),
+            attention_bias=getattr(hf, "attention_bias", False),
+        )
+    if model_type == "qwen3":
+        return DecoderConfig(
+            vocab_size=hf.vocab_size, hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size, num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads, num_kv_heads=hf.num_key_value_heads,
+            head_dim=hf.head_dim, rms_norm_eps=hf.rms_norm_eps, act="silu",
+            rope_theta=hf.rope_theta, layer_types=("full",) * hf.num_hidden_layers,
+            sliding_window=None, query_pre_attn_scalar=None, qk_norm=True,
+            rmsnorm_zero_centered=False, sandwich_norms=False, embed_scale=False,
+            tie_embeddings=getattr(hf, "tie_word_embeddings", False),
+            attention_bias=getattr(hf, "attention_bias", False),
+        )
+    raise ValueError(f"unsupported HF model_type: {model_type!r}")
+
+
+# ---------------------------------------------------------------------------- init
+
+
+def init(key, cfg: DecoderConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    h, q_dim = cfg.hidden_size, cfg.num_heads * cfg.head_dim
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    params = {
+        "embed_tokens": L.init_embedding(keys[0], cfg.vocab_size, h, dtype=dtype),
+        "final_norm": L.init_rmsnorm(h, dtype=dtype, zero_centered=cfg.rmsnorm_zero_centered),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = L.init_linear(keys[1], h, cfg.vocab_size, bias=False, dtype=dtype)
+    zc = cfg.rmsnorm_zero_centered
+    for i in range(cfg.num_layers):
+        lkeys = jax.random.split(keys[i + 2], 8)
+        layer = {
+            "input_norm": L.init_rmsnorm(h, dtype=dtype, zero_centered=zc),
+            "attn": {
+                "q_proj": L.init_linear(lkeys[0], h, q_dim, bias=cfg.attention_bias, dtype=dtype),
+                "k_proj": L.init_linear(lkeys[1], h, kv_dim, bias=cfg.attention_bias, dtype=dtype),
+                "v_proj": L.init_linear(lkeys[2], h, kv_dim, bias=cfg.attention_bias, dtype=dtype),
+                "o_proj": L.init_linear(lkeys[3], q_dim, h, bias=cfg.attention_bias, dtype=dtype),
+            },
+            "mlp": {
+                "gate_proj": L.init_linear(lkeys[4], h, cfg.intermediate_size, bias=False, dtype=dtype),
+                "up_proj": L.init_linear(lkeys[5], h, cfg.intermediate_size, bias=False, dtype=dtype),
+                "down_proj": L.init_linear(lkeys[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
+            },
+        }
+        if cfg.qk_norm:
+            layer["attn"]["q_norm"] = L.init_rmsnorm(cfg.head_dim, dtype=dtype, zero_centered=zc)
+            layer["attn"]["k_norm"] = L.init_rmsnorm(cfg.head_dim, dtype=dtype, zero_centered=zc)
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = L.init_rmsnorm(h, dtype=dtype, zero_centered=zc)
+            layer["pre_ffw_norm"] = L.init_rmsnorm(h, dtype=dtype, zero_centered=zc)
+            layer["post_ffw_norm"] = L.init_rmsnorm(h, dtype=dtype, zero_centered=zc)
+        else:
+            layer["post_attn_norm"] = L.init_rmsnorm(h, dtype=dtype, zero_centered=zc)
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------- forward
+
+
+def embed(params, cfg: DecoderConfig, input_ids):
+    """Token embedding, including the Gemma3 ``embed_scale`` multiply — the semantics the
+    reference works around with a cloned scale tensor (reference: Stage2/trainer.py:347-360);
+    in functional JAX it is simply a multiply."""
+    x = L.embedding_lookup(params["embed_tokens"], input_ids)
+    if cfg.embed_scale:
+        scale = jnp.asarray(cfg.hidden_size ** 0.5, dtype=x.dtype)
+        x = x * scale
+    return x
+
+
+def _rope_for_layer(cfg: DecoderConfig, layer_type: str, positions):
+    if layer_type == "sliding" and cfg.rope_local_theta is not None:
+        return L.rope_frequencies(cfg.head_dim, positions, theta=cfg.rope_local_theta)
+    return L.rope_frequencies(
+        cfg.head_dim, positions, theta=cfg.rope_theta,
+        scaling_factor=cfg.rope_scaling_factor,
+    )
+
+
+def _norm(p, x, cfg: DecoderConfig):
+    return L.rmsnorm(p, x, eps=cfg.rms_norm_eps, zero_centered=cfg.rmsnorm_zero_centered)
+
+
+def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
+                     kv_mask, q_offset, cache=None):
+    b, t, _ = x.shape
+    q = L.linear(lp["q_proj"], x).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = L.linear(lp["k_proj"], x).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = L.linear(lp["v_proj"], x).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = _norm(lp["q_norm"], q, cfg)
+        k = _norm(lp["k_norm"], k, cfg)
+    q = L.apply_rope(q, sin, cos)
+    k = L.apply_rope(k, sin, cos)
+
+    new_cache = None
+    if cache is not None:
+        # Static-shape cache update: write the new K/V at q_offset.
+        ck, cv = cache["k"], cache["v"]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, q_offset, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, q_offset, 0, 0))
+        new_cache = {"k": ck, "v": cv}
+        k, v = ck, cv
+
+    window = cfg.sliding_window if layer_type == "sliding" else None
+    out = dot_product_attention(
+        q, k.astype(q.dtype), v.astype(q.dtype),
+        scale=cfg.attn_scale, causal=True, window=window,
+        kv_mask=kv_mask, q_offset=q_offset, impl=cfg.attn_impl,
+    )
+    out = out.reshape(b, t, cfg.num_heads * cfg.head_dim)
+    return L.linear(lp["o_proj"], out), new_cache
+
+
+def _mlp_block(lp, cfg: DecoderConfig, x):
+    act = L.ACTIVATIONS[cfg.act]
+    gate = act(L.linear(lp["gate_proj"], x))
+    up = L.linear(lp["up_proj"], x)
+    return L.linear(lp["down_proj"], gate * up)
+
+
+def forward(
+    params,
+    cfg: DecoderConfig,
+    *,
+    input_ids=None,
+    inputs_embeds=None,
+    attention_mask=None,   # [B, T_kv] bool/int padding mask over the kv sequence
+    positions=None,        # [B, T] int positions (defaults to arange + q_offset)
+    cache=None,            # list of per-layer {'k','v'} static-shape caches
+    q_offset=0,
+    remat: bool = False,
+):
+    """Run the decoder. Returns (hidden_states, new_cache).
+
+    Training: pass ``inputs_embeds`` (e.g. [visual; text] concat) or ``input_ids``; no cache.
+    Decoding: pass a cache; ``q_offset`` is the number of already-cached tokens, and
+    ``attention_mask`` must cover the full cache length.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, cfg, input_ids)
+    x = inputs_embeds
+    b, t, _ = x.shape
+
+    if positions is None:
+        positions = jnp.arange(t)[None, :] + q_offset
+        positions = jnp.broadcast_to(positions, (b, t))
+
+    kv_mask = None
+    if attention_mask is not None:
+        kv_mask = attention_mask.astype(bool)
+
+    # Precompute both rope variants once (cheap; avoids per-layer recompute).
+    rope_by_type = {}
+    for lt in set(cfg.layer_types):
+        rope_by_type[lt] = _rope_for_layer(cfg, lt, positions)
+
+    def layer_fn(x, lp, layer_type, layer_cache):
+        sin, cos = rope_by_type[layer_type]
+        residual = x
+        h = _norm(lp["input_norm"], x, cfg)
+        h, new_cache = _attention_block(
+            lp["attn"], cfg, h, sin, cos, layer_type=layer_type,
+            kv_mask=kv_mask, q_offset=q_offset, cache=layer_cache,
+        )
+        if cfg.sandwich_norms:
+            h = _norm(lp["post_attn_norm"], h, cfg)
+            x = residual + h
+            residual = x
+            h = _norm(lp["pre_ffw_norm"], x, cfg)
+            h = _mlp_block(lp["mlp"], cfg, h)
+            h = _norm(lp["post_ffw_norm"], h, cfg)
+            x = residual + h
+        else:
+            x = residual + h
+            residual = x
+            h = _norm(lp["post_attn_norm"], x, cfg)
+            h = _mlp_block(lp["mlp"], cfg, h)
+            x = residual + h
+        return x, new_cache
+
+    new_caches = [] if cache is not None else None
+    for i in range(cfg.num_layers):
+        layer_cache = cache[i] if cache is not None else None
+        fn = layer_fn
+        if remat and layer_cache is None:
+            fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+        x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache)
+        if new_caches is not None:
+            new_caches.append(nc)
+
+    x = _norm(params["final_norm"], x, cfg)
+    return x, new_caches
+
+
+def logits(params, cfg: DecoderConfig, hidden):
+    """LM head: tied transpose of the embedding, or a separate lm_head."""
+    if cfg.tie_embeddings:
+        w = params["embed_tokens"]["embedding"]
+        out = jnp.dot(hidden, w.T.astype(hidden.dtype), preferred_element_type=jnp.float32)
+        return out
+    return L.linear(params["lm_head"], hidden).astype(jnp.float32)
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    return [
+        {
+            "k": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+            "v": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+
+
+# ---------------------------------------------------------------------------- HF import
+
+
+def params_from_hf_state_dict(cfg: DecoderConfig, sd) -> dict:
+    """Port an HF Gemma3TextModel/Qwen3Model(-ForCausalLM) state dict (numpy arrays) into
+    this decoder's pytree. Linear weights transpose (out,in)->(in,out)."""
+
+    def get(name):
+        for prefix in ("model.", ""):
+            key = prefix + name
+            if key in sd:
+                return np.asarray(sd[key])
+        raise KeyError(name)
+
+    def lin(name):
+        p = {"kernel": get(name + ".weight").T}
+        if name + ".bias" in sd or "model." + name + ".bias" in sd:
+            p["bias"] = get(name + ".bias")
+        return p
+
+    params = {
+        "embed_tokens": {"embedding": get("embed_tokens.weight")},
+        "final_norm": {"scale": get("norm.weight")},
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        if "lm_head.weight" in sd:
+            params["lm_head"] = {"kernel": np.asarray(sd["lm_head.weight"]).T}
+        else:
+            params["lm_head"] = {"kernel": get("embed_tokens.weight").T.copy()}
+    for i in range(cfg.num_layers):
+        pre = f"layers.{i}."
+        layer = {
+            "input_norm": {"scale": get(pre + "input_layernorm.weight")},
+            "attn": {
+                "q_proj": lin(pre + "self_attn.q_proj"),
+                "k_proj": lin(pre + "self_attn.k_proj"),
+                "v_proj": lin(pre + "self_attn.v_proj"),
+                "o_proj": lin(pre + "self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": lin(pre + "mlp.gate_proj"),
+                "up_proj": lin(pre + "mlp.up_proj"),
+                "down_proj": lin(pre + "mlp.down_proj"),
+            },
+        }
+        if cfg.qk_norm:
+            layer["attn"]["q_norm"] = {"scale": get(pre + "self_attn.q_norm.weight")}
+            layer["attn"]["k_norm"] = {"scale": get(pre + "self_attn.k_norm.weight")}
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = {"scale": get(pre + "post_attention_layernorm.weight")}
+            layer["pre_ffw_norm"] = {"scale": get(pre + "pre_feedforward_layernorm.weight")}
+            layer["post_ffw_norm"] = {"scale": get(pre + "post_feedforward_layernorm.weight")}
+        else:
+            layer["post_attn_norm"] = {"scale": get(pre + "post_attention_layernorm.weight")}
+        params["layers"].append(layer)
+    return jax.tree.map(jnp.asarray, params)

@@ -1,0 +1,109 @@
+"""Losses, each replicating the reference's exact numerical semantics (SURVEY §7.1.4).
+
+All losses compute in fp32 regardless of input dtype (the reference casts logits to fp32
+before its Stage-2 loss — Stage2/trainer.py:408 — and torch CE upcasts internally).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+def shifted_clm_loss(logits, labels):
+    """Causal-LM loss: tokens < n predict n; positions with label -100 are ignored and the
+    mean runs over non-ignored targets only.
+
+    Matches both reference paths: HF's internal loss under ``labels=`` (Stage 1 —
+    Stage1/projector_trainer.py:226-233) and the manual shifted fp32 CE (Stage 2 —
+    Stage2/trainer.py:407-418; torch ``nn.CrossEntropyLoss`` default ``ignore_index=-100``
+    averages over valid tokens).
+
+    logits: [B, T, V]; labels: [B, T] int with -100 at ignored positions.
+    Returns (loss_scalar_fp32, num_valid_tokens).
+    """
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    labels = labels[:, 1:]
+    valid = labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, labels, 0)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
+    token_loss = jnp.where(valid, -token_ll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return token_loss.sum() / count, valid.sum()
+
+
+def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None):
+    """The reference's Stage-0 contrastive loss, replicated exactly (Stage0/
+    train_vision_encoder_stage0.py:260-269): L2-normalize both towers, pairwise logits
+    ``img @ txt.T * exp(logit_scale)`` (+ optional bias), **eye-matrix labels** with
+    binary cross entropy summed then divided by n.
+
+    NOTE: this deliberately differs from canonical SigLIP's ±1 log-sigmoid loss — the
+    reference uses BCE against an identity matrix; we replicate, not "fix" (SURVEY §7.1.4).
+    """
+    img = image_features.astype(jnp.float32)
+    txt = text_features.astype(jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(jnp.asarray(logit_scale, jnp.float32).reshape(()))
+    logits = img @ txt.T * scale
+    if logit_bias is not None:
+        logits = logits + jnp.asarray(logit_bias, jnp.float32).reshape(())
+    n = logits.shape[0]
+    labels = jnp.eye(n, dtype=jnp.float32)
+    # BCE-with-logits, sum reduction / n
+    per = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return per.sum() / n
+
+
+def _masked_logsumexp(x, mask, temperature):
+    """T * logsumexp(x/T) over masked elements; -inf-safe when mask is empty."""
+    x = x / temperature
+    neg = jnp.finfo(jnp.float32).min
+    xm = jnp.where(mask, x, neg)
+    m = jnp.max(xm, axis=-1, keepdims=True)
+    m = jnp.maximum(m, neg)  # all-masked row -> stays neg; handled by caller
+    s = jnp.sum(jnp.where(mask, jnp.exp(xm - m), 0.0), axis=-1)
+    return temperature * (m[..., 0] + jnp.log(jnp.maximum(s, 1e-38)))
+
+
+def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1.0):
+    """Kobayashi CVPR'23 two-way multi-label loss, vectorized.
+
+    Replicates ``TwoWayMultiLabelLoss`` (cls_evaluate/train_twoway_loss.py:166-286):
+    sample-wise term (over classes, per sample) and class-wise term (over the batch, per
+    class), each ``softplus(T_n*LSE(x_neg/T_n) + T_p*LSE(-x_pos/T_p))``, zero when a
+    row/column lacks positives or negatives; final = (mean_sample + mean_class) / 2.
+
+    The reference loops in Python per sample/class; here both directions are one masked
+    logsumexp over the [B, C] matrix — the TPU-native formulation.
+    """
+    logits = logits.astype(jnp.float32)
+    pos = targets == 1
+    neg = targets == 0
+
+    def direction(axis):
+        p = jnp.moveaxis(pos, axis, -1)
+        n = jnp.moveaxis(neg, axis, -1)
+        x = jnp.moveaxis(logits, axis, -1)
+        has_both = jnp.any(p, axis=-1) & jnp.any(n, axis=-1)
+        lse_neg = _masked_logsumexp(x, n, t_n)
+        lse_pos = _masked_logsumexp(-x, p, t_p)
+        loss = jax.nn.softplus(lse_neg + lse_pos)
+        return jnp.mean(jnp.where(has_both, loss, 0.0))
+
+    sample_loss = direction(1)  # reduce over classes for each sample
+    class_loss = direction(0)   # reduce over batch for each class
+    return (sample_loss + class_loss) / 2.0
+
+
+def softmax_ce_loss(logits, target_indices):
+    """Single-label CE for the cls_evaluate probe (cls_evaluate/train_utils.py uses torch
+    ``nn.CrossEntropyLoss`` over class logits)."""
+    logits = logits.astype(jnp.float32)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logprobs, target_indices[:, None], axis=-1)[:, 0]
+    return nll.mean()

@@ -1,0 +1,108 @@
+"""Loss parity vs torch implementations replicating the reference's exact formulas."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.train import losses
+
+
+def test_shifted_clm_loss_matches_torch_ce():
+    rng = np.random.default_rng(0)
+    b, t, v = 3, 12, 37
+    logits = rng.normal(size=(b, t, v)).astype(np.float32)
+    labels = rng.integers(0, v, size=(b, t))
+    labels[0, :5] = -100
+    labels[2, 8:] = -100
+
+    # torch reference: the Stage-2 manual loss (Stage2/trainer.py:407-418)
+    tl = torch.tensor(logits)[:, :-1, :].reshape(-1, v)
+    tt = torch.tensor(labels)[:, 1:].reshape(-1)
+    expected = torch.nn.CrossEntropyLoss()(tl, tt).item()
+
+    loss, count = losses.shifted_clm_loss(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+    assert int(count) == int((tt != -100).sum())
+
+
+def test_shifted_clm_loss_all_masked_is_finite():
+    logits = jnp.zeros((1, 4, 7))
+    labels = jnp.full((1, 4), -100)
+    loss, count = losses.shifted_clm_loss(logits, labels)
+    assert np.isfinite(float(loss)) and float(loss) == 0.0 and int(count) == 0
+
+
+def test_siglip_pairwise_loss_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    n, d = 6, 16
+    img = rng.normal(size=(n, d)).astype(np.float32)
+    txt = rng.normal(size=(n, d)).astype(np.float32)
+    scale = np.float32(1.3)
+
+    # torch replication of Stage0/train_vision_encoder_stage0.py:260-269
+    ti = F.normalize(torch.tensor(img), p=2, dim=1)
+    tt = F.normalize(torch.tensor(txt), p=2, dim=1)
+    logits = ti @ tt.t() * torch.tensor(scale).exp()
+    expected = (
+        F.binary_cross_entropy_with_logits(logits, torch.eye(n), reduction="sum") / n
+    ).item()
+
+    ours = losses.siglip_pairwise_loss(jnp.asarray(img), jnp.asarray(txt), scale)
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-5)
+
+
+def test_siglip_pairwise_loss_with_bias():
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(4, 8)).astype(np.float32)
+    txt = rng.normal(size=(4, 8)).astype(np.float32)
+    ti = F.normalize(torch.tensor(img), p=2, dim=1)
+    tt = F.normalize(torch.tensor(txt), p=2, dim=1)
+    logits = ti @ tt.t() * torch.tensor(0.5).exp() - 3.0
+    expected = (
+        F.binary_cross_entropy_with_logits(logits, torch.eye(4), reduction="sum") / 4
+    ).item()
+    ours = losses.siglip_pairwise_loss(
+        jnp.asarray(img), jnp.asarray(txt), np.float32(0.5), logit_bias=np.float32(-3.0)
+    )
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-5)
+
+
+def _torch_two_way(logits, targets, t_p=4.0, t_n=1.0):
+    """Direct loop replication of cls_evaluate/train_twoway_loss.py:166-286."""
+    logits = torch.tensor(logits)
+    targets = torch.tensor(targets)
+
+    def single(lg, lb):
+        pos, neg = lb == 1, lb == 0
+        if not pos.any() or not neg.any():
+            return torch.tensor(0.0)
+        lse_n = t_n * torch.logsumexp(lg[neg] / t_n, dim=0)
+        lse_p = t_p * torch.logsumexp(-lg[pos] / t_p, dim=0)
+        return F.softplus(lse_n + lse_p)
+
+    b, c = logits.shape
+    s = torch.stack([single(logits[i], targets[i]) for i in range(b)]).mean()
+    cl = torch.stack([single(logits[:, j], targets[:, j]) for j in range(c)]).mean()
+    return ((s + cl) / 2).item()
+
+
+def test_two_way_loss_matches_reference():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(5, 4)).astype(np.float32) * 3
+    targets = rng.integers(0, 2, size=(5, 4)).astype(np.float32)
+    targets[0] = 1  # a row without negatives -> zero contribution
+    targets[:, 2] = 0  # a column without positives -> zero contribution
+    expected = _torch_two_way(logits, targets)
+    ours = losses.two_way_multilabel_loss(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_softmax_ce_matches_torch():
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=(6, 5)).astype(np.float32)
+    targets = rng.integers(0, 5, size=(6,))
+    expected = torch.nn.CrossEntropyLoss()(torch.tensor(logits), torch.tensor(targets)).item()
+    ours = losses.softmax_ce_loss(jnp.asarray(logits), jnp.asarray(targets))
+    np.testing.assert_allclose(float(ours), expected, rtol=1e-5)
