@@ -216,12 +216,21 @@ def _norm(p, x, cfg: DecoderConfig):
     return L.rmsnorm(p, x, eps=cfg.rms_norm_eps, zero_centered=cfg.rmsnorm_zero_centered)
 
 
+def _proj(lp, name, x, lora_layer, lora_cfg):
+    y = L.linear(lp[name], x)
+    if lora_layer is not None:
+        from projectiontrainer_tpu.train import lora as lora_mod
+
+        y = lora_mod.apply_delta(lora_layer, name, lora_cfg, x, y)
+    return y
+
+
 def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
-                     kv_mask, q_offset, cache=None):
+                     kv_mask, q_offset, cache=None, lora_layer=None, lora_cfg=None):
     b, t, _ = x.shape
-    q = L.linear(lp["q_proj"], x).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = L.linear(lp["k_proj"], x).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = L.linear(lp["v_proj"], x).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = _proj(lp, "q_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = _proj(lp, "k_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _proj(lp, "v_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = _norm(lp["q_norm"], q, cfg)
         k = _norm(lp["k_norm"], k, cfg)
@@ -244,14 +253,14 @@ def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
         kv_mask=kv_mask, q_offset=q_offset, impl=cfg.attn_impl,
     )
     out = out.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    return L.linear(lp["o_proj"], out), new_cache
+    return _proj(lp, "o_proj", out, lora_layer, lora_cfg), new_cache
 
 
-def _mlp_block(lp, cfg: DecoderConfig, x):
+def _mlp_block(lp, cfg: DecoderConfig, x, lora_layer=None, lora_cfg=None):
     act = L.ACTIVATIONS[cfg.act]
-    gate = act(L.linear(lp["gate_proj"], x))
-    up = L.linear(lp["up_proj"], x)
-    return L.linear(lp["down_proj"], gate * up)
+    gate = act(_proj(lp, "gate_proj", x, lora_layer, lora_cfg))
+    up = _proj(lp, "up_proj", x, lora_layer, lora_cfg)
+    return _proj(lp, "down_proj", gate * up, lora_layer, lora_cfg)
 
 
 def forward(
@@ -265,6 +274,8 @@ def forward(
     cache=None,            # list of per-layer {'k','v'} static-shape caches
     q_offset=0,
     remat: bool = False,
+    lora=None,             # optional LoRA adapter pytree ({'layers': [...]})
+    lora_cfg=None,
 ):
     """Run the decoder. Returns (hidden_states, new_cache).
 
@@ -290,37 +301,39 @@ def forward(
     for lt in set(cfg.layer_types):
         rope_by_type[lt] = _rope_for_layer(cfg, lt, positions)
 
-    def layer_fn(x, lp, layer_type, layer_cache):
+    def layer_fn(x, lp, layer_type, layer_cache, lora_layer):
         sin, cos = rope_by_type[layer_type]
         residual = x
         h = _norm(lp["input_norm"], x, cfg)
         h, new_cache = _attention_block(
             lp["attn"], cfg, h, sin, cos, layer_type=layer_type,
             kv_mask=kv_mask, q_offset=q_offset, cache=layer_cache,
+            lora_layer=lora_layer, lora_cfg=lora_cfg,
         )
         if cfg.sandwich_norms:
             h = _norm(lp["post_attn_norm"], h, cfg)
             x = residual + h
             residual = x
             h = _norm(lp["pre_ffw_norm"], x, cfg)
-            h = _mlp_block(lp["mlp"], cfg, h)
+            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg)
             h = _norm(lp["post_ffw_norm"], h, cfg)
             x = residual + h
         else:
             x = residual + h
             residual = x
             h = _norm(lp["post_attn_norm"], x, cfg)
-            h = _mlp_block(lp["mlp"], cfg, h)
+            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg)
             x = residual + h
         return x, new_cache
 
     new_caches = [] if cache is not None else None
     for i in range(cfg.num_layers):
         layer_cache = cache[i] if cache is not None else None
+        lora_layer = lora["layers"][i] if lora is not None else None
         fn = layer_fn
         if remat and layer_cache is None:
             fn = jax.checkpoint(layer_fn, static_argnums=(2,))
-        x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache)
+        x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache, lora_layer)
         if new_caches is not None:
             new_caches.append(nc)
 

@@ -1,0 +1,6 @@
+from projectiontrainer_tpu.parallel.sharding import (
+    param_shardings,
+    shard_params,
+    shard_batch,
+    DEFAULT_RULES,
+)

@@ -1,0 +1,89 @@
+"""LoRA as a pytree-partitioned adapter over the decoder's projection matrices.
+
+Replaces the reference's PEFT QLoRA stack (reference: Stage2/train_vqa_stage2.py:169-244:
+``LoraConfig(r=16, alpha=32, dropout=.05, targets q/k/v/o/gate/up/down)``). Adapters live in
+a separate ``params['lora']`` subtree mirroring the decoder layout, so the trainable mask is
+just "the lora subtree" and base weights stay frozen (and can be quantized independently).
+
+Forward merge: ``W_eff = W + (alpha/r) * A @ B`` applied lazily inside the decoder by
+pre-merging before each step is WRONG for memory (it materializes full-size deltas); instead
+we compute ``x @ A @ B`` as two thin matmuls — at r=16 this is ~1% extra FLOPs and keeps the
+base matmul untouched for the MXU.
+
+NF4 4-bit base quantization has no TPU-native kernel; the flag surface is preserved and the
+base may be held in int8 (ops/quant) or bf16 — the documented fidelity delta (SURVEY §7.3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.models.decoder import DecoderConfig
+
+TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 16
+    alpha: int = 32
+    dropout: float = 0.05
+    targets: tuple = TARGETS
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.r
+
+
+def init(key, dec_cfg: DecoderConfig, cfg: LoraConfig, dtype=jnp.float32):
+    """Per-layer, per-target A (in, r) gaussian / B (r, out) zeros — PEFT init semantics."""
+    h = dec_cfg.hidden_size
+    q_dim = dec_cfg.num_heads * dec_cfg.head_dim
+    kv_dim = dec_cfg.num_kv_heads * dec_cfg.head_dim
+    dims = {
+        "q_proj": (h, q_dim), "k_proj": (h, kv_dim), "v_proj": (h, kv_dim),
+        "o_proj": (q_dim, h), "gate_proj": (h, dec_cfg.intermediate_size),
+        "up_proj": (h, dec_cfg.intermediate_size),
+        "down_proj": (dec_cfg.intermediate_size, h),
+    }
+    layers = []
+    keys = jax.random.split(key, dec_cfg.num_layers)
+    for i in range(dec_cfg.num_layers):
+        tkeys = jax.random.split(keys[i], len(cfg.targets))
+        layer = {}
+        for t, tk in zip(cfg.targets, tkeys):
+            din, dout = dims[t]
+            layer[t] = {
+                "a": (jax.random.normal(tk, (din, cfg.r)) * (1.0 / cfg.r)).astype(dtype),
+                "b": jnp.zeros((cfg.r, dout), dtype),
+            }
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def apply_delta(lora_layer_params, target: str, cfg: LoraConfig, x, y):
+    """y + scaling * (x @ A) @ B for one projection; no-op if target not adapted."""
+    if lora_layer_params is None or target not in lora_layer_params:
+        return y
+    p = lora_layer_params[target]
+    a = p["a"].astype(x.dtype)
+    b = p["b"].astype(x.dtype)
+    delta = jnp.dot(jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype), b,
+                    preferred_element_type=jnp.float32)
+    return y + cfg.scaling * delta.astype(y.dtype)
+
+
+def merge_into_decoder(dec_params, lora_params, cfg: LoraConfig):
+    """Materialize W + scale*A@B into a plain decoder pytree (export / fast inference)."""
+    attn_targets = {"q_proj", "k_proj", "v_proj", "o_proj"}
+    merged = jax.tree.map(lambda x: x, dec_params)  # copy via identity map
+    for i, layer in enumerate(lora_params["layers"]):
+        for t, p in layer.items():
+            dst = merged["layers"][i]["attn"] if t in attn_targets else merged["layers"][i]["mlp"]
+            w = dst[t]["kernel"]
+            delta = (p["a"].astype(jnp.float32) @ p["b"].astype(jnp.float32)) * cfg.scaling
+            dst[t] = dict(dst[t], kernel=(w.astype(jnp.float32) + delta).astype(w.dtype))
+    return merged

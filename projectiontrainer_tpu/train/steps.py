@@ -1,0 +1,147 @@
+"""Jitted train/eval steps for every stage — the framework's hot loops.
+
+One generic ``make_train_step`` (value_and_grad -> masked optax update, donated state,
+compiled once per mask variant) plus per-stage loss functions that rebuild the reference's
+exact batch semantics (SURVEY §3.1-3.3). The loss functions take the *whole* param tree;
+frozen subtrees contribute no gradient because the optimizer zeroes them and XLA prunes the
+dead backward graph — the functional replacement for ``requires_grad_``/``no_grad``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from projectiontrainer_tpu.models import decoder as dec
+from projectiontrainer_tpu.models import siglip, vlm
+from projectiontrainer_tpu.models import classifier as cls_model
+from projectiontrainer_tpu.train import losses
+
+
+def init_state(params, tx) -> dict:
+    return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def make_train_step(loss_fn: Callable, tx, *, donate: bool = True):
+    """loss_fn(params, batch, rng) -> (loss, aux). Returns jitted
+    step(state, batch, rng) -> (state, loss, aux)."""
+
+    def step(state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            loss,
+            aux,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------- stage 1
+
+
+def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True):
+    """[visual; caption] CLM loss (reference: Stage1/projector_trainer.py:160-233).
+    batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions)."""
+
+    def loss_fn(params, batch, rng):
+        del rng
+        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
+        embeds, mask, labels = vlm.build_sequence(
+            params, cfg, visual, pad_token_id=pad_token_id,
+            caption_ids=batch["caption_ids"],
+        )
+        logits = vlm.forward_logits(params, cfg, embeds, mask, remat=remat)
+        loss, n_tok = losses.shifted_clm_loss(logits, labels)
+        return loss, {"tokens": n_tok}
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------- stage 2
+
+
+def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None, remat: bool = True):
+    """[visual; question; answer] answer-masked CLM loss (reference:
+    Stage2/trainer.py:306-418). batch: {'pixel_values', 'question_ids', 'answer_ids'}
+    (bucketed static shapes). LoRA adapters, when configured, live at params['lora']."""
+
+    def loss_fn(params, batch, rng):
+        del rng
+        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
+        embeds, mask, labels = vlm.build_sequence(
+            params, cfg, visual, pad_token_id=pad_token_id,
+            question_ids=batch["question_ids"], answer_ids=batch["answer_ids"],
+        )
+        lora = params.get("lora") if lora_cfg is not None else None
+        hidden, _ = dec.forward(
+            params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
+            remat=remat, lora=lora, lora_cfg=lora_cfg,
+        )
+        logits = dec.logits(params["llm"], cfg.llm, hidden)
+        loss, n_tok = losses.shifted_clm_loss(logits, labels)
+        return loss, {"tokens": n_tok}
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------- stage 0
+
+
+def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True):
+    """SigLIP sigmoid pairwise loss on the full dual tower (reference:
+    Stage0/train_vision_encoder_stage0.py:661-689). batch: {'pixel_values', 'input_ids'}.
+
+    NOTE on DP semantics: the reference computes this loss per-rank over the LOCAL batch
+    (no cross-device negative exchange — plain DDP grad averaging). Under pjit the whole
+    array is global, so we shard_map the loss over the data axis to reproduce per-shard
+    pairwise logits exactly; for single-device runs this is the plain loss.
+    """
+
+    def loss_fn(params, batch, rng):
+        del rng
+        img, txt, scale, bias = siglip.forward_contrastive(
+            params, cfg, batch["pixel_values"], batch["input_ids"]
+        )
+        loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0])
+        return loss, {}
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------- classifier
+
+
+def classifier_loss(cfg: cls_model.ClassifierConfig, *, multilabel: bool = False,
+                    t_p: float = 4.0, t_n: float = 1.0):
+    """cls_evaluate probe loss: softmax CE (train_utils) or two-way multi-label
+    (train_twoway_loss). batch: {'pixel_values', 'target_indices' | 'targets'}."""
+
+    def loss_fn(params, batch, rng):
+        logits = cls_model.forward(params, cfg, batch["pixel_values"], dropout_rng=rng)
+        if multilabel:
+            loss = losses.two_way_multilabel_loss(logits, batch["targets"], t_p=t_p, t_n=t_n)
+        else:
+            loss = losses.softmax_ce_loss(logits, batch["target_indices"])
+        return loss, {"logits": logits}
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------- eval
+
+
+def make_eval_step(loss_fn: Callable):
+    def step(params, batch):
+        loss, aux = loss_fn(params, batch, None)
+        return loss, aux
+
+    return jax.jit(step)

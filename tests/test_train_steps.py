@@ -1,0 +1,254 @@
+"""End-to-end tiny train-step tests: masks freeze what they should, losses go down,
+the optimizer schedule matches HF, and steps run sharded on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.core.pytree import count_params
+from projectiontrainer_tpu.models import decoder as dec
+from projectiontrainer_tpu.models import projector as proj
+from projectiontrainer_tpu.models import siglip, vlm
+from projectiontrainer_tpu.train import lora as lora_mod
+from projectiontrainer_tpu.train import masks, optim, steps
+
+
+def tiny_vlm_cfg(llm_hidden=32, vis_hidden=24):
+    vis = siglip.VisionConfig(
+        hidden_size=vis_hidden, intermediate_size=vis_hidden * 2, num_layers=2,
+        num_heads=4, image_size=16, patch_size=8, use_head=False,
+    )
+    llm = dec.gemma3_config(
+        vocab_size=64, hidden_size=llm_hidden, intermediate_size=llm_hidden * 2,
+        num_layers=2, num_heads=2, num_kv_heads=1, head_dim=16, sliding_window=4,
+        query_pre_attn_scalar=16,
+    )
+    return vlm.VLMConfig(
+        vision=vis,
+        projector=proj.ProjectorConfig(vision_dim=vis_hidden, llm_dim=llm_hidden,
+                                       expansion_factor=2),
+        llm=llm,
+    )
+
+
+def stage1_batch(rng, b=2):
+    return {
+        "pixel_values": jnp.asarray(rng.normal(size=(b, 16, 16, 3)).astype(np.float32)),
+        "caption_ids": jnp.asarray(
+            np.concatenate([rng.integers(1, 64, size=(b, 6)), np.zeros((b, 2), np.int64)], axis=1)
+        ),
+    }
+
+
+PAD = 0
+
+
+def test_stage1_step_trains_projector_only():
+    cfg = tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(0), cfg)
+    labels = masks.stage1_labels(params)
+    tx, _ = optim.single_group_optimizer(
+        labels, 1e-3, total_steps=10, clip_norm=5.0
+    )
+    loss_fn = steps.stage1_loss(cfg, PAD, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    batch = stage1_batch(rng)
+    state = steps.init_state(params, tx)
+    losses_seen = []
+    for i in range(8):
+        state, loss, aux = step(state, batch, jax.random.key(i))
+        losses_seen.append(float(loss))
+
+    # projector moved, towers frozen
+    assert not np.allclose(
+        np.asarray(state["params"]["projector"]["fc1"]["kernel"]),
+        np.asarray(params["projector"]["fc1"]["kernel"]),
+    )
+    for sub in ("vision", "llm"):
+        for a, b in zip(jax.tree.leaves(state["params"][sub]), jax.tree.leaves(params[sub])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert losses_seen[-1] < losses_seen[0]
+    assert int(aux["tokens"]) > 0
+
+
+def test_stage2_lora_step_trains_lora_only():
+    cfg = tiny_vlm_cfg()
+    lcfg = lora_mod.LoraConfig(r=2, alpha=4)
+    params = vlm.init(jax.random.key(1), cfg)
+    params["lora"] = lora_mod.init(jax.random.key(2), cfg.llm, lcfg)
+    policy = masks.Stage2Freeze(train_llm=False, use_lora=True, train_projector=True)
+    labels = masks.stage2_labels(params, policy)
+
+    tx, _ = optim.single_group_optimizer(
+        labels, 1e-3, total_steps=10, clip_norm=1.0, clip_per_module=True
+    )
+    loss_fn = steps.stage2_loss(cfg, PAD, lora_cfg=lcfg, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+        "question_ids": jnp.asarray(rng.integers(1, 64, size=(2, 4))),
+        "answer_ids": jnp.asarray(
+            np.concatenate([rng.integers(1, 64, size=(2, 5)), np.zeros((2, 3), np.int64)], 1)
+        ),
+    }
+    state = steps.init_state(params, tx)
+    l0 = None
+    for i in range(6):
+        state, loss, _ = step(state, batch, jax.random.key(i))
+        l0 = l0 or float(loss)
+
+    # lora B started at zero and moved; projector moved; base LLM/vision frozen
+    assert not np.allclose(
+        np.asarray(state["params"]["lora"]["layers"][0]["q_proj"]["b"]), 0.0
+    )
+    assert not np.allclose(
+        np.asarray(state["params"]["projector"]["fc2"]["kernel"]),
+        np.asarray(params["projector"]["fc2"]["kernel"]),
+    )
+    for sub in ("vision", "llm"):
+        for a, b in zip(jax.tree.leaves(state["params"][sub]), jax.tree.leaves(params[sub])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(loss) < l0
+
+
+def test_stage0_step_freezes_text_tower():
+    cfg = siglip.SiglipConfig(
+        vision=siglip.VisionConfig(hidden_size=16, intermediate_size=32, num_layers=2,
+                                   num_heads=2, image_size=16, patch_size=8),
+        text=siglip.TextConfig(hidden_size=16, intermediate_size=32, num_layers=2,
+                               num_heads=2, vocab_size=50, max_position_embeddings=8),
+    )
+    params = siglip.init(jax.random.key(3), cfg)
+    labels = masks.stage0_labels(
+        params, freeze_layers_ratio=0.5, num_vision_layers=cfg.vision.num_layers
+    )
+    tx, _ = optim.single_group_optimizer(labels, 1e-3, total_steps=10)
+    loss_fn = steps.stage0_loss(cfg, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False)
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 50, size=(4, 8))),
+    }
+    state = steps.init_state(params, tx)
+    l_first = l_last = None
+    for i in range(6):
+        state, loss, _ = step(state, batch, jax.random.key(i))
+        l_first = l_first or float(loss)
+        l_last = float(loss)
+    assert l_last < l_first
+
+    # text tower + logit_scale + first vision layer frozen; second vision layer moved
+    for a, b in zip(jax.tree.leaves(state["params"]["text"]), jax.tree.leaves(params["text"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["logit_scale"]), np.asarray(params["logit_scale"])
+    )
+    for a, b in zip(
+        jax.tree.leaves(state["params"]["vision"]["layers"][0]),
+        jax.tree.leaves(params["vision"]["layers"][0]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(
+        np.asarray(state["params"]["vision"]["layers"][1]["mlp"]["fc1"]["kernel"]),
+        np.asarray(params["vision"]["layers"][1]["mlp"]["fc1"]["kernel"]),
+    )
+
+
+def test_cosine_schedule_matches_hf():
+    import torch
+    from transformers import get_cosine_schedule_with_warmup
+
+    total, warmup_ratio, lr = 50, 0.1, 3e-4
+    import math
+
+    warmup = math.ceil(warmup_ratio * total)
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    sched = get_cosine_schedule_with_warmup(opt, num_warmup_steps=warmup, num_training_steps=total)
+    expected = []
+    for _ in range(total):
+        expected.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+
+    ours = optim.cosine_schedule_with_warmup(lr, warmup_ratio=warmup_ratio, total_steps=total)
+    got = [float(ours(i)) for i in range(total)]
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-9)
+
+
+def test_clip_by_module_norm_clips_groups_independently():
+    grads = {"a": {"x": jnp.full((4,), 10.0)}, "b": {"y": jnp.full((4,), 0.01)}}
+    tx = optim.clip_by_module_norm(1.0)
+    state = tx.init(grads)
+    clipped, _ = tx.update(grads, state)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(clipped["a"]["x"])), 1.0, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(clipped["b"]["y"]), np.asarray(grads["b"]["y"])
+    )
+
+
+def test_grad_accumulation_matches_large_batch():
+    """MultiSteps(k) over k microbatches == one step over the concatenated batch."""
+    cfg = tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(4), cfg)
+    labels = masks.stage1_labels(params)
+    loss_fn = steps.stage1_loss(cfg, PAD, remat=False)
+
+    rng = np.random.default_rng(3)
+    b1, b2 = stage1_batch(rng), stage1_batch(rng)
+    big = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), b1, b2)
+
+    tx_accum, _ = optim.single_group_optimizer(labels, 1e-3, total_steps=10, accum_steps=2)
+    step_a = steps.make_train_step(loss_fn, tx_accum, donate=False)
+    state_a = steps.init_state(params, tx_accum)
+    state_a, _, _ = step_a(state_a, b1, jax.random.key(0))
+    state_a, _, _ = step_a(state_a, b2, jax.random.key(0))
+
+    tx_big, _ = optim.single_group_optimizer(labels, 1e-3, total_steps=10)
+    step_b = steps.make_train_step(loss_fn, tx_big, donate=False)
+    state_b = steps.init_state(params, tx_big)
+    state_b, _, _ = step_b(state_b, big, jax.random.key(0))
+
+    a = np.asarray(state_a["params"]["projector"]["fc1"]["kernel"])
+    b = np.asarray(state_b["params"]["projector"]["fc1"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_stage1_step_runs_on_sharded_mesh(cpu_mesh):
+    """The full stage-1 train step compiles and runs with params sharded over a 4x2
+    data x model mesh — the dryrun_multichip core."""
+    from projectiontrainer_tpu.parallel import shard_batch, shard_params
+
+    cfg = tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(5), cfg)
+    params = shard_params(params, cpu_mesh)
+    labels = masks.stage1_labels(params)
+    tx, _ = optim.single_group_optimizer(labels, 1e-3, total_steps=10, clip_norm=5.0)
+    loss_fn = steps.stage1_loss(cfg, PAD, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False)
+
+    rng = np.random.default_rng(5)
+    batch = shard_batch(stage1_batch(rng, b=8), cpu_mesh)
+    state = steps.init_state(params, tx)
+    state, loss, _ = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(loss))
+
+
+def test_count_params_with_mask():
+    cfg = tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(6), cfg)
+    labels = masks.stage1_labels(params)
+    mask = masks.bool_mask(labels)
+    n_train = count_params(params, mask)
+    n_total = count_params(params)
+    n_proj = count_params(params["projector"])
+    assert n_train == n_proj < n_total
