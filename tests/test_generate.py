@@ -1,0 +1,137 @@
+"""Generation tests: greedy decode matches HF generate on a tiny Gemma3; cache decode is
+consistent with full-sequence forward; beam/sampling smoke tests with left-padded prefixes."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.generate import GenerationConfig, generate
+from projectiontrainer_tpu.models import decoder as dec
+
+
+def _tiny_hf_lm(layers=4, hidden=48, vocab=101):
+    from transformers import Gemma3TextConfig
+    from transformers.models.gemma3.modeling_gemma3 import Gemma3ForCausalLM
+
+    cfg = Gemma3TextConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=layers, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=12, sliding_window=8, query_pre_attn_scalar=12,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    torch.manual_seed(7)
+    model = Gemma3ForCausalLM(cfg).eval()
+    jcfg = dec.from_hf_config(cfg)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = dec.params_from_hf_state_dict(jcfg, sd)
+    return cfg, model, jcfg, params
+
+
+def test_greedy_matches_hf_generate():
+    hf_cfg, model, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, hf_cfg.vocab_size, size=(2, 7))
+    max_new = 8
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.ones(ids.shape, dtype=torch.long),
+            max_new_tokens=max_new, do_sample=False, num_beams=1,
+            pad_token_id=0, eos_token_id=None, use_cache=True,
+        )[:, ids.shape[1]:].numpy()
+
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    ours = generate(
+        params, jcfg, embeds, jnp.ones(ids.shape, jnp.int32),
+        GenerationConfig(max_new_tokens=max_new, do_sample=False, pad_token_id=0),
+    )
+    np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+
+def test_greedy_matches_hf_generate_left_padded():
+    hf_cfg, model, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, hf_cfg.vocab_size, size=(2, 9))
+    attn = np.ones((2, 9), np.int64)
+    ids[0, :4] = 0
+    attn[0, :4] = 0
+    max_new = 6
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(attn),
+            max_new_tokens=max_new, do_sample=False, num_beams=1,
+            pad_token_id=0, eos_token_id=None, use_cache=True,
+        )[:, ids.shape[1]:].numpy()
+
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    ours = generate(
+        params, jcfg, embeds, jnp.asarray(attn),
+        GenerationConfig(max_new_tokens=max_new, do_sample=False, pad_token_id=0),
+    )
+    np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+
+def test_cache_decode_consistent_with_full_forward():
+    """Greedy decode step-by-step equals argmax over a full no-cache forward."""
+    _, _, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 101, size=(1, 5))
+    max_new = 5
+
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    ours = np.asarray(generate(
+        params, jcfg, embeds, jnp.ones(ids.shape, jnp.int32),
+        GenerationConfig(max_new_tokens=max_new, do_sample=False, pad_token_id=0),
+    ))
+
+    seq = list(ids[0])
+    for _ in range(max_new):
+        hidden, _ = dec.forward(params, jcfg, input_ids=jnp.asarray([seq]))
+        logit = dec.logits(params, jcfg, hidden[:, -1:, :])
+        seq.append(int(jnp.argmax(logit[0, 0])))
+    np.testing.assert_array_equal(ours[0], np.asarray(seq[ids.shape[1]:]))
+
+
+def test_beam_matches_hf_beam_search():
+    hf_cfg, model, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, hf_cfg.vocab_size, size=(2, 6))
+    max_new = 5
+
+    with torch.no_grad():
+        hf_out = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.ones(ids.shape, dtype=torch.long),
+            max_new_tokens=max_new, min_new_tokens=max_new, do_sample=False, num_beams=3,
+            pad_token_id=0, eos_token_id=None, length_penalty=1.0,
+            early_stopping=False, use_cache=True,
+        )[:, ids.shape[1]:].numpy()
+
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    ours = generate(
+        params, jcfg, embeds, jnp.ones(ids.shape, jnp.int32),
+        GenerationConfig(max_new_tokens=max_new, do_sample=False, num_beams=3,
+                         pad_token_id=0, length_penalty=1.0),
+    )
+    np.testing.assert_array_equal(np.asarray(ours), hf_out)
+
+
+def test_eos_padding_and_sampling_shapes():
+    _, _, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 101, size=(2, 4))
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    cfg = GenerationConfig(
+        max_new_tokens=10, do_sample=True, temperature=0.7, top_k=20, top_p=0.9,
+        repetition_penalty=1.8, eos_token_id=5, pad_token_id=0,
+    )
+    out = np.asarray(generate(params, jcfg, embeds, jnp.ones(ids.shape, jnp.int32), cfg,
+                              key=jax.random.key(0)))
+    assert out.shape == (2, 10)
+    # after an EOS, everything must be pad
+    for row in out:
+        eos_pos = np.where(row == 5)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == 0).all()
