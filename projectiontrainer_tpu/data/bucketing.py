@@ -1,0 +1,117 @@
+"""Bucketed static-shape batching — the TPU replacement for dynamic per-batch padding.
+
+The reference pads each Stage-2 batch to its max question/answer lengths at collate time
+(``vqa_collate_fn``, Stage2/trainer.py:18-61) — fine on GPU, but dynamic shapes force an
+XLA recompile per unique (q_len, a_len). Here sequences land in a small fixed grid of
+buckets (default Q ∈ {32,64,128,256}, A ∈ {128,256,512,1024} — SURVEY §5.7), so the
+compiler sees at most |Q|x|A| programs, compiled once each.
+
+Padding honors ``padding_side`` like the reference's ``manual_pad`` (left for generation,
+right for training — Stage2/trainer.py:32-46,499-505).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_Q_BUCKETS = (32, 64, 128, 256)
+DEFAULT_A_BUCKETS = (128, 256, 512, 1024)
+
+
+def bucket_for(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length (clamps to the largest: sequences are pre-truncated)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_to(ids: np.ndarray, size: int, pad_id: int, *, side: str = "right") -> np.ndarray:
+    ids = np.asarray(ids[:size], np.int32)
+    pad = np.full((size - len(ids),), pad_id, np.int32)
+    return np.concatenate([ids, pad] if side == "right" else [pad, ids])
+
+
+@dataclasses.dataclass
+class BucketBatcher:
+    """Groups Stage-2 samples into (q_bucket, a_bucket) bins and emits full static-shape
+    batches; ``flush`` drains stragglers by repeating samples to fill the batch (constant
+    shapes beat dropped data — repeated samples are weighted identically to the
+    reference's smaller final DDP batch only approximately; exact tail handling can use
+    per-sample weights later)."""
+
+    batch_size: int
+    pad_id: int
+    q_buckets: Sequence[int] = DEFAULT_Q_BUCKETS
+    a_buckets: Sequence[int] = DEFAULT_A_BUCKETS
+    q_side: str = "right"
+    a_side: str = "right"
+
+    def __post_init__(self):
+        self._bins: dict[tuple[int, int], list[dict]] = {}
+
+    def _emit(self, key: tuple[int, int], samples: list[dict]) -> dict:
+        qb, ab = key
+        return {
+            "pixel_values": np.stack([s["pixel_values"] for s in samples]),
+            "question_ids": np.stack(
+                [pad_to(s["question_ids"], qb, self.pad_id, side=self.q_side) for s in samples]
+            ),
+            "answer_ids": np.stack(
+                [pad_to(s["answer_ids"], ab, self.pad_id, side=self.a_side) for s in samples]
+            ),
+        }
+
+    def add(self, sample: dict) -> Optional[dict]:
+        key = (
+            bucket_for(len(sample["question_ids"]), self.q_buckets),
+            bucket_for(len(sample["answer_ids"]), self.a_buckets),
+        )
+        bin_ = self._bins.setdefault(key, [])
+        bin_.append(sample)
+        if len(bin_) == self.batch_size:
+            del self._bins[key]
+            return self._emit(key, bin_)
+        return None
+
+    def flush(self) -> Iterator[dict]:
+        for key, bin_ in sorted(self._bins.items()):
+            if not bin_:
+                continue
+            orig = len(bin_)
+            i = 0
+            while len(bin_) < self.batch_size:
+                bin_.append(bin_[i % orig])
+                i += 1
+            yield self._emit(key, bin_[: self.batch_size])
+        self._bins.clear()
+
+    def batches(self, samples: Iterable[dict], *, drain: bool = True) -> Iterator[dict]:
+        for s in samples:
+            out = self.add(s)
+            if out is not None:
+                yield out
+        if drain:
+            yield from self.flush()
+
+
+def fixed_batcher(samples: Iterable[dict], batch_size: int, *, drop_remainder: bool = False,
+                  repeat_to_fill: bool = True) -> Iterator[dict]:
+    """Simple static batcher for fixed-shape samples (Stage 0/1, classification)."""
+    buf: list[dict] = []
+    for s in samples:
+        buf.append(s)
+        if len(buf) == batch_size:
+            yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+            buf = []
+    if buf and not drop_remainder:
+        if repeat_to_fill:
+            orig = len(buf)
+            i = 0
+            while len(buf) < batch_size:
+                buf.append(buf[i % orig])
+                i += 1
+        yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}

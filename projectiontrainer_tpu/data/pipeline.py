@@ -1,0 +1,111 @@
+"""Host-side input pipeline: worker pool -> batcher -> double-buffered device prefetch.
+
+The reference relies on torch DataLoader workers (and falls back to ``num_workers=0`` "FOR
+DEBUGGING" in Stage 0 — Stage0:522-539). Here the pipeline is explicit:
+
+- a thread pool decodes/augments images (PIL/cv2 release the GIL for the heavy ops; the
+  C++ runtime ops slot in transparently),
+- per-host sharding replaces ``DistributedSampler``: each JAX process takes samples
+  ``i % process_count == process_index``, with ``set_epoch``-style reshuffling,
+- batches are ``jax.device_put`` ahead of consumption (double buffering) so the TPU never
+  waits on the host — the single biggest lever for the images/sec/chip target (SURVEY §7.3.6).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def host_shard_indices(n: int, *, epoch: int, seed: int = 0, shuffle: bool = True,
+                       process_index: Optional[int] = None,
+                       process_count: Optional[int] = None) -> np.ndarray:
+    """Deterministic per-epoch shuffle + contiguous round-robin host shard — the
+    DistributedSampler.set_epoch semantics (reference: Stage0:508-509,623-631)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    order = np.arange(n)
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    # pad to a multiple of process count so every host sees the same step count
+    pad = (-n) % pc
+    if pad:
+        order = np.concatenate([order, order[:pad]])
+    return order[pi::pc]
+
+
+def map_samples(dataset, indices, *, num_workers: int = 8) -> Iterator[dict]:
+    """Fetch dataset[i] for i in indices with a thread pool, preserving order."""
+    if num_workers <= 1:
+        for i in indices:
+            yield dataset[int(i)]
+        return
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        window = collections.deque()
+        it = iter(indices)
+        try:
+            for _ in range(num_workers * 2):
+                window.append(pool.submit(dataset.__getitem__, int(next(it))))
+        except StopIteration:
+            pass
+        while window:
+            yield window.popleft().result()
+            try:
+                window.append(pool.submit(dataset.__getitem__, int(next(it))))
+            except StopIteration:
+                pass
+
+
+def device_prefetch(batches: Iterable[dict], *, size: int = 2,
+                    transform: Optional[Callable[[dict], dict]] = None) -> Iterator[dict]:
+    """Move batches to device ``size`` steps ahead of the consumer on a feeder thread."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def feeder():
+        try:
+            for b in batches:
+                if transform is not None:
+                    b = transform(b)
+                b = jax.tree.map(jax.device_put, b)
+                q.put(b)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+def epoch_batches(
+    dataset,
+    *,
+    batch_size: int,
+    epoch: int,
+    batcher: Optional[Callable[[Iterable[dict]], Iterator[dict]]] = None,
+    seed: int = 0,
+    shuffle: bool = True,
+    num_workers: int = 8,
+    prefetch: int = 2,
+    transform=None,
+) -> Iterator[dict]:
+    """The standard per-epoch pipeline: shard -> decode -> batch -> prefetch."""
+    from projectiontrainer_tpu.data.bucketing import fixed_batcher
+
+    indices = host_shard_indices(len(dataset), epoch=epoch, seed=seed, shuffle=shuffle)
+    samples = map_samples(dataset, indices, num_workers=num_workers)
+    if batcher is None:
+        batches = fixed_batcher(samples, batch_size)
+    else:
+        batches = batcher(samples)
+    yield from device_prefetch(batches, size=prefetch, transform=transform)

@@ -1,0 +1,280 @@
+"""Data layer tests: preprocessing parity vs HF SiglipImageProcessor, path resolution,
+augmentation semantics, datasets over a synthetic manifest, bucketing, pipeline sharding."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from projectiontrainer_tpu.data import augmentation as aug
+from projectiontrainer_tpu.data import bucketing, datasets, image as I, pipeline
+from tests.util import make_word_tokenizer, write_jpeg
+
+
+# ---------------------------------------------------------------------------- image
+
+
+def test_preprocess_matches_hf_siglip_processor():
+    from transformers import SiglipImageProcessor
+    from PIL import Image
+
+    proc = SiglipImageProcessor(size={"height": 24, "width": 24})
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(40, 36, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    # reference flow: PIL resize to target then processor (resize is then a no-op)
+    resized = img.resize((24, 24), Image.BICUBIC)
+    expected = proc(images=resized, return_tensors="np")["pixel_values"][0]  # CHW
+    ours = I.preprocess(img, 24)  # HWC
+    np.testing.assert_allclose(ours.transpose(2, 0, 1), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_resolve_image_path_two_roots_and_mimic(tmp_path):
+    root1 = tmp_path / "r1"
+    root2 = tmp_path / "r2"
+    os.makedirs(root1)
+    write_jpeg(root1 / "a.jpg")
+
+    # direct hit in root 1
+    assert I.resolve_image_path("a.jpg", str(root1), str(root2)) == str(root1 / "a.jpg")
+
+    # MIMIC directory under root 2: first jpg inside
+    study = root2 / "p10" / "p100" / "s1"
+    os.makedirs(study)
+    write_jpeg(study / "img1.jpg")
+    write_jpeg(study / "img2.jpg")
+    got = I.resolve_image_path("p10/p100/s1", str(root1), str(root2))
+    assert got == str(study / "img1.jpg")
+
+    # plain file under root 2
+    write_jpeg(root2 / "b.jpg")
+    assert I.resolve_image_path("b.jpg", str(root1), str(root2)) == str(root2 / "b.jpg")
+
+    with pytest.raises(FileNotFoundError):
+        I.resolve_image_path("missing.jpg", str(root1), str(root2))
+
+
+# ---------------------------------------------------------------------------- augmentation
+
+
+def test_augmentation_transforms_preserve_shape_dtype():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    for out in [
+        aug.flip_horizontal(img),
+        aug.scale(img, 0.9),
+        aug.scale(img, 1.1),
+        aug.shift(img, 5, -7),
+        aug.contrast(img, 1.2),
+        aug.elastic(img, 15, 2.5, rng=rng),
+    ]:
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_augmentation_semantics():
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:, :5] = 200
+    flipped = aug.flip_horizontal(img)
+    assert (flipped[:, 5:] == 200).all() and (flipped[:, :5] == 0).all()
+
+    assert np.array_equal(aug.scale(img, 1.0), img)
+    # contrast saturates at 255 like cv2.convertScaleAbs
+    bright = aug.contrast(np.full((4, 4, 3), 240, np.uint8), 1.2)
+    assert bright.max() == 255
+
+
+def test_pipeline_deterministic_with_seed():
+    img = np.random.default_rng(1).integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    a = aug.apply_pipeline(img, rng=np.random.default_rng(7))
+    b = aug.apply_pipeline(img, rng=np.random.default_rng(7))
+    c = aug.apply_pipeline(img, rng=np.random.default_rng(8))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+# ---------------------------------------------------------------------------- datasets
+
+
+@pytest.fixture
+def manifest_dir(tmp_path):
+    root = tmp_path / "images"
+    os.makedirs(root)
+    samples = []
+    labels = ["Pneumonia", "Edema", "No Finding"]
+    for i in range(9):
+        name = f"img{i}.jpg"
+        write_jpeg(root / name, seed=i)
+        samples.append({
+            "image": name,
+            "problem": f"what disease is shown in image {i}",
+            "normal_caption": labels[i % 3],
+        })
+    mf = tmp_path / "data.json"
+    mf.write_text(json.dumps(samples))
+    return str(root), str(mf), samples
+
+
+def test_stage1_dataset(manifest_dir):
+    root, mf, _ = manifest_dir
+    tok = make_word_tokenizer(["Pneumonia", "Edema", "No", "Finding"])
+    ds = datasets.Stage1PairDataset.from_json(
+        mf, image_root=root, tokenizer=tok, image_size=16, max_length=8
+    )
+    s = ds[0]
+    assert s["pixel_values"].shape == (16, 16, 3)
+    assert s["caption_ids"].shape == (8,)
+    assert s["pixel_values"].min() >= -1.0 and s["pixel_values"].max() <= 1.0
+
+
+def test_stage2_dataset_and_special_tokens(manifest_dir):
+    root, mf, _ = manifest_dir
+    tok = make_word_tokenizer(
+        ["Pneumonia", "Edema", "No", "Finding", "what", "disease", "is", "shown",
+         "in", "image"] + [str(i) for i in range(10)]
+    )
+    ds = datasets.Stage2VQADataset.from_json(
+        mf, image_root=root, tokenizer=tok, image_size=16, max_q_len=16, max_a_len=8
+    )
+    s = ds[0]
+    # question tokenized WITHOUT special tokens; answer WITH bos/eos
+    assert s["question_ids"][0] != tok.bos_token_id
+    assert s["answer_ids"][0] == tok.bos_token_id
+    assert s["answer_ids"][-1] == tok.eos_token_id
+
+
+def test_stage2_dataset_skips_broken_samples(manifest_dir, tmp_path):
+    root, mf, samples = manifest_dir
+    broken = [{"image": "missing.jpg", "problem": "q", "normal_caption": "a"}] + samples
+    mf2 = tmp_path / "broken.json"
+    mf2.write_text(json.dumps(broken))
+    tok = make_word_tokenizer(["q", "a"])
+    ds = datasets.Stage2VQADataset.from_json(
+        mf2, image_root=root, tokenizer=tok, image_size=16
+    )
+    s = ds[0]  # falls through to the next valid sample
+    assert s["pixel_values"].shape == (16, 16, 3)
+
+
+def test_contrastive_dataset_classes_and_invalid(manifest_dir, tmp_path):
+    root, mf, samples = manifest_dir
+    withbad = samples + [
+        {"image": "gone.jpg", "normal_caption": "Pneumonia"},
+        {"image": "x.jpg", "normal_caption": "   "},
+    ]
+    mf2 = tmp_path / "c.json"
+    mf2.write_text(json.dumps(withbad))
+    tok = make_word_tokenizer(["Pneumonia", "Edema", "No", "Finding"])
+    ds = datasets.ContrastiveDataset.from_json(
+        mf2, image_root=root, tokenizer=tok, image_size=16, max_text_len=6
+    )
+    # whitespace caption filtered out entirely
+    assert len(ds) == 10
+    assert ds.class_names == ["Edema", "No Finding", "Pneumonia"]
+    ok = ds[0]
+    assert bool(ok["valid"]) and ok["input_ids"].shape == (6,)
+    bad = ds[9]  # missing image -> invalid placeholder
+    assert not bool(bad["valid"])
+
+
+def test_classification_dataset_abnormal_remap(manifest_dir):
+    root, mf, samples = manifest_dir
+    ds = datasets.ClassificationDataset(
+        samples, image_root=root, class_names=["Abnormal", "No Finding"], image_size=16,
+        handle_abnormal=True, abnormal_source_classes=["Pneumonia", "Edema"],
+    )
+    s = ds[0]  # Pneumonia -> Abnormal (index 0)
+    assert int(s["target_indices"]) == 0
+    s2 = ds[2]  # No Finding -> index 1
+    assert int(s2["target_indices"]) == 1
+
+
+def test_balanced_sample(manifest_dir):
+    _, _, samples = manifest_dir
+    out = datasets.balanced_sample(
+        samples, candidate_labels=["Pneumonia", "Edema"], per_label=2, seed=1
+    )
+    assert len(out) == 4
+    labels = [s["normal_caption"] for s in out]
+    assert labels.count("Pneumonia") == 2 and labels.count("Edema") == 2
+
+
+def test_stratified_split():
+    samples = [{"normal_caption": "A"}] * 20 + [{"normal_caption": "B"}] * 10
+    train, val = datasets.stratified_split(samples, val_ratio=0.1, seed=0)
+    assert len(train) + len(val) == 30
+    val_labels = [s["normal_caption"] for s in val]
+    assert "A" in val_labels and "B" in val_labels
+
+
+# ---------------------------------------------------------------------------- bucketing
+
+
+def test_bucket_for_and_pad():
+    assert bucketing.bucket_for(5, (32, 64)) == 32
+    assert bucketing.bucket_for(33, (32, 64)) == 64
+    assert bucketing.bucket_for(999, (32, 64)) == 64
+    left = bucketing.pad_to(np.array([1, 2]), 4, 0, side="left")
+    np.testing.assert_array_equal(left, [0, 0, 1, 2])
+    right = bucketing.pad_to(np.array([1, 2]), 4, 0, side="right")
+    np.testing.assert_array_equal(right, [1, 2, 0, 0])
+
+
+def test_bucket_batcher_static_shapes():
+    rng = np.random.default_rng(0)
+
+    def sample(ql, al):
+        return {
+            "pixel_values": np.zeros((4, 4, 3), np.float32),
+            "question_ids": np.ones(ql, np.int32),
+            "answer_ids": np.ones(al, np.int32),
+        }
+
+    b = bucketing.BucketBatcher(batch_size=2, pad_id=0, q_buckets=(8, 16), a_buckets=(8, 16))
+    stream = [sample(3, 5), sample(10, 5), sample(4, 6), sample(12, 7), sample(5, 12)]
+    batches = list(b.batches(stream))
+    shapes = sorted({(bt["question_ids"].shape[1], bt["answer_ids"].shape[1]) for bt in batches})
+    # (3,5)+(4,6) -> (8,8); (10,5)+(12,7) -> (16,8); (5,12) flushed repeated -> (8,16)
+    assert shapes == [(8, 8), (8, 16), (16, 8)]
+    for bt in batches:
+        assert bt["question_ids"].shape[0] == 2
+
+
+# ---------------------------------------------------------------------------- pipeline
+
+
+def test_host_shard_indices_cover_and_disjoint():
+    shards = [
+        pipeline.host_shard_indices(10, epoch=0, process_index=i, process_count=3)
+        for i in range(3)
+    ]
+    assert all(len(s) == 4 for s in shards)  # padded to 12
+    seen = np.concatenate(shards)
+    assert set(seen) == set(range(10))
+    # same epoch same order; different epoch differs
+    again = pipeline.host_shard_indices(10, epoch=0, process_index=0, process_count=3)
+    np.testing.assert_array_equal(shards[0], again)
+    other = pipeline.host_shard_indices(10, epoch=1, process_index=0, process_count=3)
+    assert not np.array_equal(shards[0], other)
+
+
+class _ToyDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((2,), i, np.int32)}
+
+
+def test_epoch_batches_end_to_end():
+    ds = _ToyDataset(10)
+    batches = list(pipeline.epoch_batches(
+        ds, batch_size=4, epoch=0, shuffle=False, num_workers=2, prefetch=1
+    ))
+    assert len(batches) == 3  # 10 -> 4+4+2(filled to 4)
+    all_x = np.concatenate([np.asarray(b["x"])[:, 0] for b in batches[:2]])
+    assert set(all_x.tolist()) <= set(range(10))
+    assert batches[0]["x"].shape == (4, 2)
