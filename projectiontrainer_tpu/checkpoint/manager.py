@@ -1,0 +1,94 @@
+"""Unified Orbax checkpointing with the reference's best/periodic/final semantics.
+
+The reference has four ad-hoc formats (SURVEY §5.4); this manager unifies them: one Orbax
+scheme for {params, opt_state, step, metadata} with
+
+- ``save_periodic(epoch)`` gated by ``save_every_n_epochs`` / ``min_save_epoch``
+  (reference: Stage0:800-835 flags :886-887),
+- ``save_best(metric)`` replacing the previous best (reference:
+  cls_evaluate/train_utils.py:341-366, Stage1/projector_trainer.py:288,420),
+- full optimizer+schedule state so resume actually works (the reference saves optimizer
+  state but never reloads it — SURVEY §5.3; we close that gap),
+- interop exporters in checkpoint/export.py for the reference's on-disk formats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, save_every_n_epochs: int = 1,
+                 min_save_epoch: int = 0, best_mode: str = "min"):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_every_n_epochs = save_every_n_epochs
+        self.min_save_epoch = min_save_epoch
+        self.best_mode = best_mode
+        self._best_metric: Optional[float] = None
+        self._ckptr = ocp.StandardCheckpointer()
+        state_file = os.path.join(self.directory, "manager_state.json")
+        if os.path.exists(state_file):
+            with open(state_file) as f:
+                self._best_metric = json.load(f).get("best_metric")
+
+    def _persist_manager_state(self):
+        with open(os.path.join(self.directory, "manager_state.json"), "w") as f:
+            json.dump({"best_metric": self._best_metric}, f)
+
+    def _save(self, name: str, state, metadata: Optional[dict] = None):
+        path = os.path.join(self.directory, name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        if metadata is not None:
+            with open(os.path.join(self.directory, f"{name}_metadata.json"), "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
+
+    def save_periodic(self, epoch: int, state, metadata: Optional[dict] = None) -> bool:
+        if epoch < self.min_save_epoch:
+            return False
+        if (epoch + 1) % self.save_every_n_epochs != 0:
+            return False
+        self._save(f"epoch_{epoch}", state, metadata)
+        return True
+
+    def save_best(self, metric: float, state, metadata: Optional[dict] = None) -> bool:
+        better = (
+            self._best_metric is None
+            or (self.best_mode == "min" and metric < self._best_metric)
+            or (self.best_mode == "max" and metric > self._best_metric)
+        )
+        if not better:
+            return False
+        self._best_metric = float(metric)
+        md = dict(metadata or {})
+        md["best_metric"] = self._best_metric
+        self._save("best", state, md)
+        self._persist_manager_state()
+        return True
+
+    def save_final(self, state, metadata: Optional[dict] = None):
+        self._save("final", state, metadata)
+
+    def restore(self, name: str, template) -> Any:
+        """Restore into the structure/shardings of ``template`` (an abstract or concrete
+        state pytree)."""
+        path = os.path.join(self.directory, name)
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return self._ckptr.restore(path, template)
+
+    def latest_epoch(self) -> Optional[int]:
+        epochs = []
+        for d in os.listdir(self.directory):
+            if d.startswith("epoch_") and d[6:].isdigit():
+                epochs.append(int(d[6:]))
+        return max(epochs) if epochs else None
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.directory, name))
