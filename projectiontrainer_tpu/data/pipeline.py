@@ -64,7 +64,9 @@ def map_samples(dataset, indices, *, num_workers: int = 8) -> Iterator[dict]:
 
 def device_prefetch(batches: Iterable[dict], *, size: int = 2,
                     transform: Optional[Callable[[dict], dict]] = None) -> Iterator[dict]:
-    """Move batches to device ``size`` steps ahead of the consumer on a feeder thread."""
+    """Move batches to device ``size`` steps ahead of the consumer on a feeder thread.
+    ``transform`` (when given) owns device placement — e.g. a sharded device_put — and
+    the default placement is skipped."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
@@ -73,7 +75,8 @@ def device_prefetch(batches: Iterable[dict], *, size: int = 2,
             for b in batches:
                 if transform is not None:
                     b = transform(b)
-                b = jax.tree.map(jax.device_put, b)
+                else:
+                    b = jax.tree.map(jax.device_put, b)
                 q.put(b)
         finally:
             q.put(_END)

@@ -1,0 +1,142 @@
+"""cls_evaluate trainer: attention-probe classifier over the SigLIP backbone.
+
+Orchestration mirror of ``run_training_loop`` (reference:
+cls_evaluate/train_utils.py:261-398):
+
+- freeze modes {Freeze, Unfreeze, 1EpochUnfreeze} -> mask variants (1EpochUnfreeze
+  trains the backbone in epoch 0 only — the reference's dynamic freeze :286-308);
+- discriminative LRs: head at ``lr``, backbone at ``bb_lr`` (:219-259);
+- per-epoch eval: accuracy + macro one-vs-rest AUROC (:73-92);
+- ``results.tsv`` per-epoch metric log (:269-281,370-379), best checkpoint replaced in
+  place, periodic every-2-epochs saves with config metadata embedded (:341-396);
+- optional two-way multi-label loss variant (train_twoway_loss.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from projectiontrainer_tpu.checkpoint import CheckpointManager
+from projectiontrainer_tpu.core.config import ClsConfig
+from projectiontrainer_tpu.eval import metrics as M
+from projectiontrainer_tpu.models import classifier as cls_model
+from projectiontrainer_tpu.parallel import shard_params
+from projectiontrainer_tpu.train import common, masks, optim, steps
+from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+
+
+class ClsTrainer:
+    def __init__(self, cfg: ClsConfig, *, model_cfg: cls_model.ClassifierConfig, params,
+                 train_dataset, val_dataset=None, mesh=None,
+                 logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.mesh = mesh if mesh is not None else common.mesh_from_config(cfg)
+        self.exp_dir = os.path.join(cfg.output_base_dir, cfg.exp_id)
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.logger = logger or MetricLogger(self.exp_dir)
+        self.timer = StepTimer()
+
+        gbs = common.global_batch_size(cfg, self.mesh)
+        self.max_train_steps = common.update_steps(
+            len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.epochs
+        )
+
+        params = shard_params(params, self.mesh)
+        self._steps = {}
+        for frozen in {True, False} if cfg.freeze_mode == "1EpochUnfreeze" else {cfg.freeze_mode == "Freeze"}:
+            labels = masks.classifier_labels(params, freeze_vision=frozen)
+            tx, schedule = optim.discriminative_optimizer(
+                labels, head_lr=cfg.lr, backbone_lr=cfg.bb_lr,
+                total_steps=self.max_train_steps, weight_decay=cfg.weight_decay,
+                accum_steps=cfg.gradient_accumulation_steps,
+            )
+            loss_fn = steps.classifier_loss(model_cfg, multilabel=cfg.multilabel_two_way)
+            self._steps[frozen] = (steps.make_train_step(loss_fn, tx, donate=False), tx, schedule)
+        first_frozen = self._epoch_frozen(0)
+        _, self.tx, self.schedule = self._steps[first_frozen]
+        self.state = steps.init_state(params, self.tx)
+        self._logits_fn = jax.jit(
+            lambda p, pix: cls_model.forward(p, model_cfg, pix)
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "orbax"), save_every_n_epochs=2, best_mode="max"
+        )
+        self.global_step = 0
+        self.results_tsv = os.path.join(self.exp_dir, "results.tsv")
+        if jax.process_index() == 0 and not os.path.exists(self.results_tsv):
+            with open(self.results_tsv, "w") as f:
+                f.write("Epoch\tTrain Loss\tVal Loss\tVal Acc\tVal AUC\n")
+
+    def _epoch_frozen(self, epoch: int) -> bool:
+        if self.cfg.freeze_mode == "Freeze":
+            return True
+        if self.cfg.freeze_mode == "Unfreeze":
+            return False
+        return epoch != 0  # 1EpochUnfreeze: backbone trains only in epoch 0
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        best = None
+        for epoch in range(cfg.epochs):
+            frozen = self._epoch_frozen(epoch)
+            step_fn, tx, _ = self._steps[frozen]
+            if tx is not self.tx:
+                self.state = steps.init_state(self.state["params"], tx)
+                self.tx = tx
+            losses = []
+            for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+                self.timer.start()
+                self.state, loss, _ = step_fn(
+                    self.state, batch, jax.random.key(self.global_step)
+                )
+                self.timer.stop(images=batch["pixel_values"].shape[0])
+                self.global_step += 1
+                losses.append(float(loss))
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+
+            val_loss, val_acc, val_auc = float("nan"), float("nan"), float("nan")
+            if self.val_dataset is not None and len(self.val_dataset):
+                val_loss, val_acc, val_auc = self.evaluate()
+                if self.ckpt.save_best(val_auc if np.isfinite(val_auc) else val_acc,
+                                       self.state, {"epoch": epoch, "config": cfg.to_json()}):
+                    best = (epoch, val_acc, val_auc)
+            self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch, "config": cfg.to_json()})
+
+            self.logger.log(
+                {"train/epoch_loss": train_loss, "val/loss": val_loss,
+                 "val/accuracy": val_acc, "val/auc": val_auc, "epoch": epoch},
+                step=self.global_step,
+            )
+            if jax.process_index() == 0:
+                with open(self.results_tsv, "a") as f:
+                    f.write(f"{epoch}\t{train_loss:.6f}\t{val_loss:.6f}\t{val_acc:.6f}\t{val_auc:.6f}\n")
+        return {"best": best, **self.timer.summary()}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, dataset=None) -> tuple[float, float, float]:
+        from projectiontrainer_tpu.train.losses import softmax_ce_loss
+
+        dataset = dataset if dataset is not None else self.val_dataset
+        all_logits, all_targets = [], []
+        for batch in common.feed(dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
+            logits = self._logits_fn(self.state["params"], batch["pixel_values"])
+            all_logits.append(np.asarray(logits, np.float32))
+            all_targets.append(np.asarray(batch["target_indices"]))
+        logits = np.concatenate(all_logits)
+        targets = np.concatenate(all_targets)
+        loss = float(softmax_ce_loss(logits, targets))
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        acc = M.accuracy(logits.argmax(-1), targets)
+        auc = M.macro_ovr_auroc(probs, targets)
+        return loss, acc, auc

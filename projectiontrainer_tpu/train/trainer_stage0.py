@@ -1,0 +1,145 @@
+"""Stage 0 trainer: SigLIP contrastive fine-tune with zero-shot validation.
+
+Orchestration mirror of ``train_vision_encoder`` (reference:
+Stage0/train_vision_encoder_stage0.py:451-842): full-model sigmoid pairwise loss with the
+text tower / logit_scale / first-k vision layers frozen; per-epoch zero-shot
+classification validation (class prompts encoded once, argmax over logits_per_image);
+best-by-accuracy + periodic checkpoints gated by save_every_n_epochs/min_save_epoch.
+
+The reference's padded cross-rank gather of predictions (:362-411) collapses to plain
+jnp arrays here: eval batches are globally sharded, predictions come back as one global
+array — no manual size-exchange protocol needed on static shapes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from projectiontrainer_tpu.checkpoint import CheckpointManager
+from projectiontrainer_tpu.core.config import Stage0Config
+from projectiontrainer_tpu.eval import metrics as M
+from projectiontrainer_tpu.models import siglip
+from projectiontrainer_tpu.parallel import shard_params
+from projectiontrainer_tpu.train import common, masks, optim, steps
+from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+
+
+class Stage0Trainer:
+    def __init__(self, cfg: Stage0Config, *, model_cfg: siglip.SiglipConfig, params,
+                 tokenizer, train_dataset, val_dataset=None, class_names: Sequence[str] = (),
+                 mesh=None, logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.class_names = list(class_names)
+        self.mesh = mesh if mesh is not None else common.mesh_from_config(cfg)
+        self.logger = logger or MetricLogger(
+            cfg.output_dir, project=cfg.wandb_project, run_name=cfg.wandb_run_name,
+            use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
+        )
+        self.timer = StepTimer()
+
+        gbs = common.global_batch_size(cfg, self.mesh)
+        self.max_train_steps = common.update_steps(
+            len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
+        )
+
+        params = shard_params(params, self.mesh)
+        labels = masks.stage0_labels(
+            params, freeze_text=cfg.freeze_text_encoder,
+            freeze_logit_scale=cfg.freeze_logit_scale,
+            freeze_layers_ratio=cfg.freeze_layers_ratio,
+            num_vision_layers=model_cfg.vision.num_layers,
+        )
+        self.tx, self.schedule = optim.single_group_optimizer(
+            labels, cfg.learning_rate, total_steps=self.max_train_steps,
+            warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
+            accum_steps=cfg.gradient_accumulation_steps,
+        )
+        loss_fn = steps.stage0_loss(model_cfg)
+        self.train_step = steps.make_train_step(loss_fn, self.tx)
+        self.state = steps.init_state(params, self.tx)
+
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.output_dir, "orbax"),
+            save_every_n_epochs=max(1, cfg.save_every_n_epochs),
+            min_save_epoch=cfg.min_save_epoch, best_mode="max",
+        )
+        self.global_step = 0
+        self._zero_shot_fn = jax.jit(self._zero_shot_logits)
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        epoch_loss = float("nan")
+        for epoch in range(cfg.num_epochs):
+            losses = []
+            for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+                model_batch = {k: batch[k] for k in ("pixel_values", "input_ids")}
+                self.timer.start()
+                self.state, loss, _ = self.train_step(
+                    self.state, model_batch, jax.random.key(self.global_step)
+                )
+                self.timer.stop(images=batch["pixel_values"].shape[0])
+                self.global_step += 1
+                losses.append(float(loss))
+                if self.global_step % cfg.logging_steps == 0:
+                    self.logger.log(
+                        {"train/batch_loss": losses[-1],
+                         "learning_rate": float(self.schedule(
+                             self.global_step // cfg.gradient_accumulation_steps)),
+                         **self.timer.summary()},
+                        step=self.global_step,
+                    )
+            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            self.logger.log({"train/epoch_loss": epoch_loss, "epoch": epoch},
+                            step=self.global_step)
+
+            if self.val_dataset is not None and len(self.val_dataset) and self.class_names:
+                zs = self.validate_zero_shot(epoch)
+                self.ckpt.save_best(zs["accuracy"], self.state, {"epoch": epoch, **zs})
+            if cfg.save_every_n_epochs:
+                self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
+        self.ckpt.save_final(self.state)
+        return {"train/epoch_loss": epoch_loss, **self.timer.summary()}
+
+    # ------------------------------------------------------------------ zero-shot
+
+    def _zero_shot_logits(self, params, pixel_values, class_text_ids):
+        _, img = siglip.vision_forward(params["vision"], self.model_cfg.vision, pixel_values)
+        _, txt = siglip.text_forward(params["text"], self.model_cfg.text, class_text_ids)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        return img @ txt.T * jnp.exp(params["logit_scale"][0]) + params["logit_bias"][0]
+
+    def validate_zero_shot(self, epoch: int) -> dict:
+        """Class prompts = the raw class names (the reference encodes the caption-classes
+        themselves — Stage0:290-307); prediction = argmax over logits."""
+        enc = self.tokenizer(
+            self.class_names, padding="max_length", truncation=True,
+            max_length=self.cfg.max_text_len,
+        )
+        class_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
+        preds, targets = [], []
+        for batch in common.feed(self.val_dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
+            valid = np.asarray(batch["valid"]).astype(bool)
+            logits = self._zero_shot_fn(
+                self.state["params"], batch["pixel_values"], class_ids
+            )
+            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            preds.append(pred[valid])
+            targets.append(np.asarray(batch["class_idx"])[valid])
+        preds = np.concatenate(preds) if preds else np.zeros((0,), np.int32)
+        targets = np.concatenate(targets) if targets else np.zeros((0,), np.int32)
+        out = M.zero_shot_prf(preds, targets) if len(preds) else {"accuracy": 0.0}
+        self.logger.log({f"zero_shot/{k}": v for k, v in out.items()} | {"epoch": epoch},
+                        step=self.global_step)
+        return out

@@ -1,0 +1,163 @@
+"""Stage 1 trainer: frozen towers, trainable MLP projector, CLM loss on captions.
+
+Orchestration mirror of ``ProjectionTrainerStage1`` (reference:
+Stage1/projector_trainer.py:18-521) rebuilt around jitted steps:
+
+- one compiled train step (projector-only mask, AdamW + cosine + clip 5.0, MultiSteps
+  accumulation) over the (data, model) mesh;
+- per-epoch validation: loss + free generation from visual-only embeds + last-word
+  accuracy (reference :291-448);
+- saves: reference-format ``projector_{epoch|best|final}.bin`` + projector_config.json
+  plus a full Orbax state for true resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from projectiontrainer_tpu.checkpoint import CheckpointManager, export
+from projectiontrainer_tpu.core.config import Stage1Config
+from projectiontrainer_tpu.eval import metrics as M
+from projectiontrainer_tpu.generate import GenerationConfig, generate
+from projectiontrainer_tpu.models import vlm
+from projectiontrainer_tpu.parallel import shard_params
+from projectiontrainer_tpu.train import common, masks, optim, steps
+from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+
+
+class Stage1Trainer:
+    def __init__(self, cfg: Stage1Config, *, vlm_cfg: vlm.VLMConfig, params, tokenizer,
+                 train_dataset, val_dataset=None, mesh=None, logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.vlm_cfg = vlm_cfg
+        self.tokenizer = tokenizer
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.mesh = mesh if mesh is not None else common.mesh_from_config(cfg)
+        self.logger = logger or MetricLogger(
+            cfg.output_dir, project=cfg.wandb_project, run_name=cfg.wandb_run_name,
+            use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
+        )
+        self.timer = StepTimer()
+
+        gbs = common.global_batch_size(cfg, self.mesh)
+        self.max_train_steps = common.update_steps(
+            len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
+        )
+
+        params = shard_params(params, self.mesh)
+        labels = masks.stage1_labels(params)
+        self.tx, self.schedule = optim.single_group_optimizer(
+            labels, cfg.learning_rate, total_steps=self.max_train_steps,
+            warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
+            clip_norm=cfg.grad_clip, accum_steps=cfg.gradient_accumulation_steps,
+        )
+        pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
+        self.pad_id = pad_id
+        loss_fn = steps.stage1_loss(vlm_cfg, pad_id)
+        self.train_step = steps.make_train_step(loss_fn, self.tx)
+        self.eval_step = steps.make_eval_step(steps.stage1_loss(vlm_cfg, pad_id, remat=False))
+        self.state = steps.init_state(params, self.tx)
+
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.output_dir, "orbax"),
+            save_every_n_epochs=max(1, cfg.save_every_n_epochs), best_mode="min",
+        )
+        self.global_step = 0
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        accum = cfg.gradient_accumulation_steps
+        best_val = None
+        for epoch in range(cfg.num_epochs):
+            epoch_losses = []
+            for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+                self.timer.start()
+                self.state, loss, aux = self.train_step(
+                    self.state, batch, jax.random.key(self.global_step)
+                )
+                self.timer.stop(images=batch["pixel_values"].shape[0])
+                self.global_step += 1
+                loss = float(loss)
+                epoch_losses.append(loss)
+                if self.global_step % cfg.logging_steps == 0:
+                    lr = float(self.schedule(self.global_step // accum))
+                    self.logger.log(
+                        {"train/batch_loss": loss, "learning_rate": lr,
+                         **self.timer.summary()},
+                        step=self.global_step,
+                    )
+            epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            self.logger.log({"train/epoch_loss": epoch_loss, "epoch": epoch}, step=self.global_step)
+
+            if self.val_dataset is not None and len(self.val_dataset):
+                val = self.evaluate(epoch)
+                if self.ckpt.save_best(val["val/loss"], self.state, {"epoch": epoch}):
+                    best_val = val["val/loss"]
+                    self._export_projector("best")
+            if cfg.save_every_n_epochs and (epoch + 1) % cfg.save_every_n_epochs == 0:
+                self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
+                self._export_projector(f"epoch_{epoch}")
+
+        self.ckpt.save_final(self.state)
+        self._export_projector("final")
+        return {"train/epoch_loss": epoch_loss, "best_val_loss": best_val,
+                **self.timer.summary()}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, epoch: int, *, max_generate_batches: int = 2) -> dict:
+        cfg = self.cfg
+        losses, generated, targets = [], [], []
+        n_batches = 0
+        for batch in common.feed(self.val_dataset, cfg, self.mesh, epoch=0, shuffle=False):
+            loss, _ = self.eval_step(self.state["params"], batch)
+            losses.append(float(loss))
+            if n_batches < max_generate_batches:
+                generated += self._generate_captions(batch)
+                targets += [
+                    self.tokenizer.decode(
+                        [t for t in np.asarray(ids) if t != self.pad_id],
+                        skip_special_tokens=True,
+                    )
+                    for ids in np.asarray(batch["caption_ids"])
+                ]
+            n_batches += 1
+        out = {"val/loss": float(np.mean(losses)) if losses else float("nan")}
+        if generated:
+            out["validation/last_word_accuracy"] = M.last_word_accuracy(generated, targets)
+        self.logger.log({**out, "epoch": epoch}, step=self.global_step)
+        return out
+
+    def _generate_captions(self, batch, max_new_tokens: int = 32) -> list[str]:
+        params = self.state["params"]
+        visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
+        mask = np.ones(visual.shape[:2], np.int32)
+        eos = self.tokenizer.eos_token_id
+        ids = generate(
+            params["llm"], self.vlm_cfg.llm, visual, mask,
+            GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False,
+                             eos_token_id=eos, pad_token_id=self.pad_id),
+        )
+        return [
+            self.tokenizer.decode(
+                [t for t in np.asarray(row) if t != self.pad_id], skip_special_tokens=True
+            )
+            for row in np.asarray(ids)
+        ]
+
+    # ------------------------------------------------------------------ save
+
+    def _export_projector(self, tag: str):
+        if jax.process_index() != 0:
+            return
+        export.save_projector(
+            jax.device_get(self.state["params"]["projector"]),
+            self.vlm_cfg.projector, self.cfg.output_dir, tag=tag,
+        )

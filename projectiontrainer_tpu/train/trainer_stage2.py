@@ -1,0 +1,223 @@
+"""Stage 2 trainer: VQA instruction fine-tuning with LoRA/full-LLM/projector/VE subsets.
+
+Orchestration mirror of ``VQATrainerStage2`` (reference: Stage2/trainer.py:63-769):
+
+- freeze policy from flags; ``--train_ve_first_epoch`` = TWO compiled step variants (VE
+  trainable for epoch 0, frozen after) — the pjit replacement for the reference's
+  optimizer-param-identity dance (:267-289);
+- bucketed static-shape batches instead of dynamic per-batch padding;
+- per-module gradient clipping at 1.0 (:427-439), AdamW + cosine, accumulation;
+- per-epoch eval: loss + beam generation of qualitative examples written to
+  ``validation_examples/epoch_N_examples.txt`` (:672-700);
+- saves: ``checkpoint-epoch_N/`` in the reference layout + Orbax full state.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from projectiontrainer_tpu.checkpoint import CheckpointManager, export
+from projectiontrainer_tpu.core.config import Stage2Config
+from projectiontrainer_tpu.data.bucketing import BucketBatcher
+from projectiontrainer_tpu.generate import GenerationConfig, generate
+from projectiontrainer_tpu.models import vlm
+from projectiontrainer_tpu.parallel import shard_params
+from projectiontrainer_tpu.train import common, lora as lora_mod, masks, optim, steps
+from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+
+
+class Stage2Trainer:
+    def __init__(self, cfg: Stage2Config, *, vlm_cfg: vlm.VLMConfig, params, tokenizer,
+                 train_dataset, val_dataset=None, mesh=None,
+                 logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.vlm_cfg = vlm_cfg
+        self.tokenizer = tokenizer
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.mesh = mesh if mesh is not None else common.mesh_from_config(cfg)
+        self.logger = logger or MetricLogger(
+            cfg.output_dir, project=cfg.wandb_project, run_name=cfg.wandb_run_name,
+            use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
+        )
+        self.timer = StepTimer()
+        self.pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
+
+        self.lora_cfg = None
+        if cfg.enable_qlora:
+            self.lora_cfg = lora_mod.LoraConfig(
+                r=cfg.lora_r, alpha=cfg.lora_alpha, dropout=cfg.lora_dropout
+            )
+            if "lora" not in params:
+                params["lora"] = lora_mod.init(
+                    jax.random.key(cfg.seed), vlm_cfg.llm, self.lora_cfg
+                )
+
+        params = shard_params(params, self.mesh)
+        self.base_policy = cfg.freeze_policy()
+
+        gbs = common.global_batch_size(cfg, self.mesh)
+        self.max_train_steps = common.update_steps(
+            len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
+        )
+
+        loss_fn = steps.stage2_loss(vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg)
+        self._loss_fn = loss_fn
+        # two step variants when the VE trains only on epoch 0
+        self._steps = {}
+        for ve_flag in ({True, False} if cfg.train_ve_first_epoch else {False}):
+            policy = masks.Stage2Freeze(
+                train_llm=self.base_policy.train_llm, use_lora=self.base_policy.use_lora,
+                train_projector=self.base_policy.train_projector, train_vision=ve_flag,
+            )
+            labels = masks.stage2_labels(params, policy)
+            tx, schedule = optim.single_group_optimizer(
+                labels, cfg.learning_rate, total_steps=self.max_train_steps,
+                warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
+                clip_norm=cfg.grad_clip, clip_per_module=True,
+                accum_steps=cfg.gradient_accumulation_steps,
+            )
+            self._steps[ve_flag] = (steps.make_train_step(loss_fn, tx, donate=False), tx, schedule)
+        _, self.tx, self.schedule = self._steps[cfg.train_ve_first_epoch]
+        self.state = steps.init_state(params, self.tx)
+        self.eval_step = steps.make_eval_step(
+            steps.stage2_loss(vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, remat=False)
+        )
+
+        self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "orbax"), best_mode="min")
+        self.global_step = 0
+
+    def _batcher(self, side_q="right", side_a="right"):
+        gbs = common.global_batch_size(self.cfg, self.mesh)
+        b = BucketBatcher(batch_size=gbs, pad_id=self.pad_id, q_side=side_q, a_side=side_a)
+        return lambda samples: b.batches(samples)
+
+    # ------------------------------------------------------------------ train
+
+    def train(self) -> dict:
+        cfg = self.cfg
+        epoch_loss = float("nan")
+        for epoch in range(cfg.num_epochs):
+            ve_flag = cfg.train_ve_first_epoch and epoch == 0
+            step_fn, tx, _ = self._steps[ve_flag]
+            if tx is not self.tx:
+                # mask swap at the epoch boundary: keep params, rebuild optimizer state
+                self.state = steps.init_state(self.state["params"], tx)
+                self.tx = tx
+            losses = []
+            for batch in common.feed(
+                self.train_dataset, cfg, self.mesh, epoch=epoch, batcher=self._batcher()
+            ):
+                self.timer.start()
+                self.state, loss, aux = step_fn(
+                    self.state, batch, jax.random.key(self.global_step)
+                )
+                self.timer.stop(
+                    images=batch["pixel_values"].shape[0], tokens=int(aux["tokens"])
+                )
+                self.global_step += 1
+                losses.append(float(loss))
+                if self.global_step % cfg.logging_steps == 0:
+                    self.logger.log(
+                        {"train/step_loss": losses[-1],
+                         "learning_rate": float(self.schedule(
+                             self.global_step // cfg.gradient_accumulation_steps)),
+                         **self.timer.summary()},
+                        step=self.global_step,
+                    )
+            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            self.logger.log({"train/epoch_loss": epoch_loss, "epoch": epoch,
+                             "ve_trained": float(ve_flag)}, step=self.global_step)
+
+            if self.val_dataset is not None and len(self.val_dataset):
+                val = self.evaluate(epoch)
+                self.ckpt.save_best(val["val/loss"], self.state, {"epoch": epoch})
+            self.save_checkpoint(epoch)
+        return {"train/epoch_loss": epoch_loss, **self.timer.summary()}
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, epoch: int, *, max_example_batches: int = 1) -> dict:
+        cfg = self.cfg
+        losses, examples = [], []
+        n = 0
+        for batch in common.feed(
+            self.val_dataset, cfg, self.mesh, epoch=0, shuffle=False,
+            batcher=self._batcher(),
+        ):
+            loss, _ = self.eval_step(self.state["params"], batch)
+            losses.append(float(loss))
+            if n < max_example_batches:
+                examples += self._generate_examples(batch)
+            n += 1
+        out = {"val/loss": float(np.mean(losses)) if losses else float("nan")}
+        self.logger.log({**out, "epoch": epoch}, step=self.global_step)
+        if examples and jax.process_index() == 0:
+            ex_dir = os.path.join(cfg.output_dir, "validation_examples")
+            os.makedirs(ex_dir, exist_ok=True)
+            with open(os.path.join(ex_dir, f"epoch_{epoch}_examples.txt"), "w") as f:
+                for q, a, g in examples:
+                    f.write(f"QUESTION: {q}\nTARGET: {a}\nGENERATED: {g}\n{'-' * 60}\n")
+        return out
+
+    def _decode(self, ids) -> str:
+        return self.tokenizer.decode(
+            [t for t in np.asarray(ids) if t != self.pad_id], skip_special_tokens=True
+        )
+
+    def _generate_examples(self, batch) -> list[tuple[str, str, str]]:
+        """Generation eval: [visual; question] prefix, left-pad semantics (the reference
+        forces padding_side='left' for generation — Stage2/trainer.py:499-505)."""
+        params = self.state["params"]
+        cfg = self.cfg
+        visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
+        q_ids = np.asarray(batch["question_ids"])
+        # left-shift question padding: [q pad][visual q] ordering must keep last slot valid
+        order = np.argsort(q_ids == self.pad_id, axis=1, kind="stable")
+        q_left = np.take_along_axis(q_ids, order, axis=1)
+        from projectiontrainer_tpu.models import decoder as dec
+
+        q_emb = dec.embed(params["llm"], self.vlm_cfg.llm, q_left).astype(visual.dtype)
+        import jax.numpy as jnp
+
+        embeds = jnp.concatenate([visual, q_emb], axis=1)
+        mask = np.concatenate(
+            [np.ones(visual.shape[:2], np.int32), (q_left != self.pad_id).astype(np.int32)],
+            axis=1,
+        )
+        lora = params.get("lora")
+        gen_params = params["llm"]
+        if lora is not None and self.lora_cfg is not None:
+            gen_params = lora_mod.merge_into_decoder(params["llm"], lora, self.lora_cfg)
+        ids = generate(
+            gen_params, self.vlm_cfg.llm, embeds, jnp.asarray(mask),
+            GenerationConfig(
+                max_new_tokens=cfg.eval_max_new_tokens, num_beams=cfg.eval_num_beams,
+                eos_token_id=self.tokenizer.eos_token_id, pad_token_id=self.pad_id,
+                length_penalty=1.0,
+            ),
+        )
+        return [
+            (self._decode(q), self._decode(a), self._decode(g))
+            for q, a, g in zip(q_ids, np.asarray(batch["answer_ids"]), np.asarray(ids))
+        ]
+
+    # ------------------------------------------------------------------ save
+
+    def save_checkpoint(self, epoch: int):
+        self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
+        if jax.process_index() != 0:
+            return
+        params = jax.device_get(self.state["params"])
+        export.save_stage2_checkpoint(
+            self.cfg.output_dir, epoch,
+            projector_params=params["projector"], projector_cfg=self.vlm_cfg.projector,
+            lora_params=params.get("lora"),
+            llm_params=params["llm"] if (self.base_policy.train_llm and not self.base_policy.use_lora) else None,
+            metadata={"epoch": epoch, "config": self.cfg.to_json()},
+        )

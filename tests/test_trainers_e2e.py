@@ -1,0 +1,188 @@
+"""End-to-end trainer smoke tests on synthetic data — the SURVEY §7.2 minimum slice and
+its Stage-0/2/cls siblings, exercising data -> masks -> jitted steps -> eval -> export."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from projectiontrainer_tpu import testing as T
+from projectiontrainer_tpu.core.config import ClsConfig, Stage0Config, Stage1Config, Stage2Config
+from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+from projectiontrainer_tpu.data import datasets
+from projectiontrainer_tpu.models import classifier as cls_model
+from projectiontrainer_tpu.models import siglip, vlm
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("corpus"))
+    root, manifest = T.synthetic_corpus(tmp, n=12, image_size=32)
+    return tmp, root, manifest
+
+
+def small_mesh():
+    return build_mesh(MeshConfig(data=2, model=1), devices=jax.devices()[:2])
+
+
+def test_stage1_trainer_end_to_end(corpus, tmp_path):
+    from projectiontrainer_tpu.train.trainer_stage1 import Stage1Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    cfg = Stage1Config(
+        image_root=root, train_json=manifest, output_dir=str(tmp_path / "s1"),
+        img_size=32, batch_size=2, num_epochs=2, learning_rate=1e-3,
+        gradient_accumulation_steps=1, max_caption_len=12, save_every_n_epochs=1,
+        num_workers=2, logging_steps=1, mesh_data=2, disable_wandb=True,
+    )
+    vcfg = T.tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(0), vcfg)
+
+    samples = datasets.load_manifest(manifest)
+    train_s, val_s = datasets.train_val_split(samples, 0.25, seed=0)
+    mk = lambda s: datasets.Stage1PairDataset(
+        s, image_root=root, tokenizer=tok, image_size=32, max_length=12
+    )
+    trainer = Stage1Trainer(
+        cfg, vlm_cfg=vcfg, params=params, tokenizer=tok,
+        train_dataset=mk(train_s), val_dataset=mk(val_s), mesh=small_mesh(),
+    )
+    out = trainer.train()
+    assert np.isfinite(out["train/epoch_loss"])
+    # reference-format exports present
+    assert os.path.exists(tmp_path / "s1" / "projector_final.bin")
+    assert os.path.exists(tmp_path / "s1" / "projector_config.json")
+    assert trainer.ckpt.has("best") or trainer.ckpt.has("final")
+    # metrics include last-word accuracy
+    lines = [json.loads(l) for l in open(tmp_path / "s1" / "metrics.jsonl")]
+    assert any("validation/last_word_accuracy" in l for l in lines)
+
+
+def test_stage2_trainer_lora_end_to_end(corpus, tmp_path):
+    from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    cfg = Stage2Config(
+        image_root=root, train_json=manifest, val_json=manifest,
+        output_dir=str(tmp_path / "s2"), img_size=32, batch_size=2, num_epochs=1,
+        learning_rate=1e-3, gradient_accumulation_steps=1, max_q_len=16, max_a_len=8,
+        enable_qlora=True, unfreeze_projection_layer=True, train_ve_first_epoch=False,
+        num_workers=2, logging_steps=1, mesh_data=2, disable_wandb=True,
+        eval_max_new_tokens=4, eval_num_beams=2,
+    )
+    vcfg = T.tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(1), vcfg)
+
+    mk = lambda: datasets.Stage2VQADataset.from_json(
+        manifest, image_root=root, tokenizer=tok, image_size=32, max_q_len=16, max_a_len=8
+    )
+    trainer = Stage2Trainer(
+        cfg, vlm_cfg=vcfg, params=params, tokenizer=tok,
+        train_dataset=mk(), val_dataset=mk(), mesh=small_mesh(),
+    )
+    out = trainer.train()
+    assert np.isfinite(out["train/epoch_loss"])
+    ckpt = tmp_path / "s2" / "checkpoint-epoch_0"
+    assert os.path.exists(ckpt / "projection_layer" / "projector_best.bin")
+    assert os.path.exists(ckpt / "language_model" / "adapter_model.safetensors")
+    ex_dir = tmp_path / "s2" / "validation_examples"
+    assert os.path.exists(ex_dir / "epoch_0_examples.txt")
+    content = open(ex_dir / "epoch_0_examples.txt").read()
+    assert "QUESTION:" in content and "GENERATED:" in content
+
+
+def test_stage2_trainer_ve_first_epoch_mask_swap(corpus, tmp_path):
+    from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    cfg = Stage2Config(
+        image_root=root, train_json=manifest, val_json=None,
+        output_dir=str(tmp_path / "s2ve"), img_size=32, batch_size=2, num_epochs=2,
+        learning_rate=1e-3, gradient_accumulation_steps=1, max_q_len=16, max_a_len=8,
+        unfreeze_llm=True, train_ve_first_epoch=True, num_workers=2,
+        mesh_data=1, disable_wandb=True,
+    )
+    vcfg = T.tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(2), vcfg)
+    initial_ve = np.asarray(params["vision"]["layers"][0]["mlp"]["fc1"]["kernel"]).copy()
+
+    ds = datasets.Stage2VQADataset.from_json(
+        manifest, image_root=root, tokenizer=tok, image_size=32, max_q_len=16, max_a_len=8
+    )
+    mesh = build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = Stage2Trainer(
+        cfg, vlm_cfg=vcfg, params=params, tokenizer=tok,
+        train_dataset=ds, val_dataset=None, mesh=mesh,
+    )
+    trainer.train()
+    after_ve = np.asarray(trainer.state["params"]["vision"]["layers"][0]["mlp"]["fc1"]["kernel"])
+    assert not np.allclose(after_ve, initial_ve)  # VE moved in epoch 0
+
+
+def test_stage0_trainer_end_to_end(corpus, tmp_path):
+    from projectiontrainer_tpu.train.trainer_stage0 import Stage0Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    cfg = Stage0Config(
+        image_root=root, train_json=manifest, output_dir=str(tmp_path / "s0"),
+        img_size=32, batch_size=4, num_epochs=2, learning_rate=1e-3,
+        gradient_accumulation_steps=1, max_text_len=8, num_workers=2,
+        save_every_n_epochs=1, min_save_epoch=0, mesh_data=2, disable_wandb=True,
+    )
+    mcfg = T.tiny_siglip_cfg(text_len=8)
+    params = siglip.init(jax.random.key(3), mcfg)
+
+    samples = datasets.load_manifest(manifest)
+    mk = lambda s, aug: datasets.ContrastiveDataset(
+        s, image_root=root, tokenizer=tok, image_size=32, max_text_len=8, augment=aug
+    )
+    trainer = Stage0Trainer(
+        cfg, model_cfg=mcfg, params=params, tokenizer=tok,
+        train_dataset=mk(samples, True), val_dataset=mk(samples[:6], False),
+        class_names=mk(samples, False).class_names, mesh=small_mesh(),
+    )
+    out = trainer.train()
+    assert np.isfinite(out["train/epoch_loss"])
+    lines = [json.loads(l) for l in open(tmp_path / "s0" / "metrics.jsonl")]
+    assert any("zero_shot/accuracy" in l for l in lines)
+
+
+def test_cls_trainer_end_to_end(corpus, tmp_path):
+    from projectiontrainer_tpu.train.trainer_cls import ClsTrainer
+
+    tmp, root, manifest = corpus
+    cfg = ClsConfig(
+        exp_id="EXP01", class_names="Pneumonia,Edema,Cardiomegaly,No Finding",
+        freeze_mode="1EpochUnfreeze", image_root=root, data_json=manifest,
+        output_base_dir=str(tmp_path / "cls"), img_size=32, batch_size=4, epochs=2,
+        lr=1e-3, bb_lr=1e-4, num_workers=2, mesh_data=2, disable_wandb=True,
+    )
+    names = cfg.effective_class_names()
+    mcfg = cls_model.ClassifierConfig(
+        vision=T.tiny_vision_cfg(), num_classes=len(names), num_heads=4, dropout_rate=0.0
+    )
+    params = cls_model.init(jax.random.key(4), mcfg)
+
+    samples = datasets.load_manifest(manifest)
+    train_s, val_s = datasets.stratified_split(samples, val_ratio=0.25, seed=0)
+    mk = lambda s: datasets.ClassificationDataset(
+        s, image_root=root, class_names=names, image_size=32,
+        handle_abnormal=cfg.handle_abnormal,
+        abnormal_source_classes=cfg.abnormal_source_classes,
+    )
+    trainer = ClsTrainer(
+        cfg, model_cfg=mcfg, params=params,
+        train_dataset=mk(train_s), val_dataset=mk(val_s), mesh=small_mesh(),
+    )
+    out = trainer.train()
+    tsv = tmp_path / "cls" / "EXP01" / "results.tsv"
+    assert os.path.exists(tsv)
+    rows = open(tsv).read().strip().splitlines()
+    assert rows[0].startswith("Epoch") and len(rows) == 3
