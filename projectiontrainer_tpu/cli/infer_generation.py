@@ -1,0 +1,97 @@
+"""Generation evaluation: fixed diagnostic prompt, substring-match accuracy summary.
+
+CLI mirror of Stage2/inference_generation.py:26-375: every sample gets the prompt
+"Identify the diseases ... single word or phrase"; a generation is correct iff the
+ground-truth label occurs in it (case-insensitive substring); prints per-label accuracy
+and ground-truth/prediction distribution summaries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+
+from projectiontrainer_tpu.cli.infer_vqa_stage2 import answer_batch, build_parser as _vqa_parser
+from projectiontrainer_tpu.data import datasets
+from projectiontrainer_tpu.eval import metrics as M
+from projectiontrainer_tpu.generate import GenerationConfig
+from projectiontrainer_tpu.train import lora as lora_mod, setup
+from projectiontrainer_tpu.utils.logging import setup_logging
+
+DIAGNOSTIC_PROMPT = (
+    "Identify the diseases shown in the chest X-ray image. "
+    "Answer with a single word or phrase."
+)
+
+
+def build_parser():
+    p = _vqa_parser()
+    p.description = __doc__
+    p.add_argument("--prompt", type=str, default=DIAGNOSTIC_PROMPT)
+    return p
+
+
+def display_summary(results, logger):
+    per_label = M.per_label_substring_accuracy(
+        [r["generated_answer"] for r in results],
+        [r.get("normal_caption", "") for r in results],
+    )
+    total_hits = sum(h for h, _ in per_label.values())
+    total = sum(n for _, n in per_label.values())
+    logger.info("overall substring accuracy: %.4f (%d/%d)",
+                total_hits / max(1, total), total_hits, total)
+    for label, (hits, n) in sorted(per_label.items()):
+        logger.info("  %-30s %3d/%3d  (%.3f)", label, hits, n, hits / max(1, n))
+    gen_counter = collections.Counter(r["generated_answer"].strip() for r in results)
+    logger.info("top generated answers: %s", gen_counter.most_common(10))
+    return total_hits / max(1, total)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logger = setup_logging()
+    vlm_cfg, params, _ = setup.build_vlm(
+        args.vision_model_name, args.llm_name, stage1_projector_path=args.projector_path,
+    )
+    tokenizer = setup.load_tokenizer(args.llm_name)
+    if args.adapter_path:
+        import os
+
+        from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
+
+        lora = load_flat_safetensors(
+            os.path.join(args.adapter_path, "adapter_model.safetensors")
+        )
+        params["llm"] = lora_mod.merge_into_decoder(
+            params["llm"], lora, lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        )
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
+        do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
+        top_k=args.top_k, repetition_penalty=args.repetition_penalty,
+        length_penalty=args.length_penalty, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id or 0,
+    )
+
+    samples = datasets.load_manifest(args.input_json)
+    results = []
+    for i in range(0, len(samples), args.batch_size):
+        chunk = [dict(s, problem=args.prompt) for s in samples[i:i + args.batch_size]]
+        answers = answer_batch(
+            chunk, vlm_cfg, params, tokenizer, image_root=args.image_root,
+            image_root_2=args.image_root_2, img_size=args.img_size,
+            max_q_len=args.max_q_len, gen_cfg=gen_cfg,
+        )
+        for s, a in zip(samples[i:i + args.batch_size], answers):
+            results.append({**s, "generated_answer": a})
+
+    acc = display_summary(results, logger)
+    with open(args.output_json, "w") as f:
+        json.dump({"accuracy": acc, "results": results}, f, indent=2)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Stage 2 VQA inference: batch generation over a JSON of (image, problem) samples.
+
+CLI mirror of Stage2/inference_vqa_stage2.py:292-469 (base LLM + LoRA adapter +
+projector; per sample: vision -> project -> embed question -> concat -> generate with
+the reference's sampling surface: beams/temperature/top-p/top-k/repetition penalty).
+Results are written as JSON with generated answers alongside ground truth.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from projectiontrainer_tpu.data import datasets, image as I
+from projectiontrainer_tpu.generate import GenerationConfig, generate
+from projectiontrainer_tpu.models import vlm
+from projectiontrainer_tpu.train import lora as lora_mod, setup
+from projectiontrainer_tpu.utils.logging import setup_logging
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_json", type=str, required=True)
+    p.add_argument("--output_json", type=str, default="vqa_predictions.json")
+    p.add_argument("--image_root", type=str, required=True)
+    p.add_argument("--image_root_2", type=str, default=None)
+    p.add_argument("--vision_model_name", type=str, required=True)
+    p.add_argument("--llm_name", type=str, required=True)
+    p.add_argument("--adapter_path", type=str, default=None,
+                   help="Directory containing adapter_model.safetensors (LoRA)")
+    p.add_argument("--projector_path", type=str, required=True)
+    p.add_argument("--img_size", type=int, default=384)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_q_len", type=int, default=256)
+    p.add_argument("--max_new_tokens", type=int, default=1024)
+    p.add_argument("--num_beams", type=int, default=3)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.3)
+    p.add_argument("--top_p", type=float, default=0.9)
+    p.add_argument("--top_k", type=int, default=50)
+    p.add_argument("--repetition_penalty", type=float, default=1.8)
+    p.add_argument("--length_penalty", type=float, default=1.2)
+    p.add_argument("--lora_r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=int, default=32)
+    return p
+
+
+def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_2,
+                 img_size, max_q_len, gen_cfg):
+    """samples: list of {'image', 'problem'} -> list of generated answer strings."""
+    pad = tokenizer.pad_token_id or 0
+    pixels = np.stack([
+        I.preprocess(
+            I.load_image(I.resolve_image_path(s["image"], image_root, image_root_2)),
+            img_size,
+        )
+        for s in samples
+    ])
+    q_tok = [
+        tokenizer(s["problem"], max_length=max_q_len, truncation=True,
+                  add_special_tokens=False)["input_ids"]
+        for s in samples
+    ]
+    q_len = max(len(q) for q in q_tok)
+    q_ids = np.full((len(samples), q_len), pad, np.int32)
+    for i, q in enumerate(q_tok):  # left padding: last slot is the last question token
+        q_ids[i, q_len - len(q):] = q
+
+    visual = vlm.visual_embeds(params, vlm_cfg, jnp.asarray(pixels))
+    from projectiontrainer_tpu.models import decoder as dec
+
+    q_emb = dec.embed(params["llm"], vlm_cfg.llm, jnp.asarray(q_ids)).astype(visual.dtype)
+    embeds = jnp.concatenate([visual, q_emb], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones(visual.shape[:2], jnp.int32), jnp.asarray((q_ids != pad).astype(np.int32))],
+        axis=1,
+    )
+    ids = generate(params["llm"], vlm_cfg.llm, embeds, mask, gen_cfg)
+    return [
+        tokenizer.decode([t for t in np.asarray(row) if t != pad], skip_special_tokens=True)
+        for row in np.asarray(ids)
+    ]
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logger = setup_logging()
+    vlm_cfg, params, _ = setup.build_vlm(
+        args.vision_model_name, args.llm_name, stage1_projector_path=args.projector_path,
+    )
+    tokenizer = setup.load_tokenizer(args.llm_name)
+    if args.adapter_path:
+        from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
+
+        lora = load_flat_safetensors(
+            os.path.join(args.adapter_path, "adapter_model.safetensors")
+        )
+        lcfg = lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        params["llm"] = lora_mod.merge_into_decoder(params["llm"], lora, lcfg)
+        logger.info("merged LoRA adapters from %s", args.adapter_path)
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
+        do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
+        top_k=args.top_k, repetition_penalty=args.repetition_penalty,
+        length_penalty=args.length_penalty, eos_token_id=tokenizer.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id or 0,
+    )
+
+    samples = datasets.load_manifest(args.input_json)
+    results, latencies = [], []
+    for i in range(0, len(samples), args.batch_size):
+        chunk = samples[i:i + args.batch_size]
+        t0 = time.perf_counter()
+        answers = answer_batch(
+            chunk, vlm_cfg, params, tokenizer, image_root=args.image_root,
+            image_root_2=args.image_root_2, img_size=args.img_size,
+            max_q_len=args.max_q_len, gen_cfg=gen_cfg,
+        )
+        latencies.append((time.perf_counter() - t0) / len(chunk))
+        for s, a in zip(chunk, answers):
+            results.append({**s, "generated_answer": a})
+        logger.info("processed %d/%d", min(i + args.batch_size, len(samples)), len(samples))
+
+    with open(args.output_json, "w") as f:
+        json.dump(results, f, indent=2)
+    if latencies:
+        logger.info("p50 per-sample latency: %.3fs", float(np.median(latencies)))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Stage 2 entry: VQA instruction fine-tuning.
+
+CLI mirror of the reference entry (Stage2/train_vqa_stage2.py:82-352) with the same flag
+names, incl. ``--enable_qlora``, ``--unfreeze_projection_layer``, ``--unfreeze_llm``,
+``--train_ve_first_epoch``, ``--resume_qlora_adapter_path``, ``--stage1_projector_path``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from projectiontrainer_tpu.core.config import Stage2Config, from_args, parser_for
+from projectiontrainer_tpu.data import datasets
+from projectiontrainer_tpu.train import setup
+from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+from projectiontrainer_tpu.utils.logging import setup_logging
+
+
+def main(argv=None):
+    args = parser_for(Stage2Config, __doc__).parse_args(argv)
+    cfg = from_args(Stage2Config, args)
+    logger = setup_logging()
+
+    vlm_cfg, params, _ = setup.build_vlm(
+        cfg.vision_model_name, cfg.llm_name,
+        stage1_projector_path=cfg.stage1_projector_path or None, seed=cfg.seed,
+    )
+    tokenizer = setup.load_tokenizer(cfg.llm_name)
+
+    if cfg.resume_qlora_adapter_path:
+        from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
+
+        adapter = os.path.join(cfg.resume_qlora_adapter_path, "adapter_model.safetensors")
+        params["lora"] = load_flat_safetensors(adapter)
+        logger.info("resumed LoRA adapters from %s", adapter)
+
+    mk = lambda path: datasets.Stage2VQADataset.from_json(
+        path, image_root=cfg.image_root, tokenizer=tokenizer, image_size=cfg.img_size,
+        max_q_len=cfg.max_q_len, max_a_len=cfg.max_a_len, image_root_2=cfg.image_root_2,
+    )
+    trainer = Stage2Trainer(
+        cfg, vlm_cfg=vlm_cfg, params=params, tokenizer=tokenizer,
+        train_dataset=mk(cfg.train_json),
+        val_dataset=mk(cfg.val_json) if cfg.val_json else None,
+    )
+    result = trainer.train()
+    logger.info("done: %s", result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Checkpoint sweeper + experiment scheduler for cls_evaluate.
+
+Replaces two reference components:
+
+- ``evaluate_experiment.py`` (reference: cls_evaluate/evaluate_experiment.py:58-411):
+  evaluate every saved checkpoint of an experiment on a test set (model reconstructed
+  from the config embedded in checkpoint metadata), pick the best epoch from the
+  training ``results.tsv`` (Val AUC -> Val Acc fallback), emit the machine-readable
+  ``BEST_RESULT\\t...`` line and an accuracy/AUC-vs-epoch plot.
+- the bash experiment grid + multi-GPU scheduler (run_experiments.sh:20-189,
+  run_distributed_experiments.sh:26-272): :func:`run_experiment_grid` is a Python
+  process scheduler with max-concurrency throttling; on TPU one process owns all chips,
+  so concurrency maps to sequential device-efficient runs (or subprocess-per-experiment
+  when multiple hosts/slices are available).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+from typing import Optional, Sequence
+
+import numpy as np
+
+# The reference's default 6-experiment grid (run_experiments.sh:168-189):
+# (exp_id, class_names, freeze_mode, handle_abnormal, filter_no_finding)
+DEFAULT_EXPERIMENT_GRID = (
+    ("EXP1", "No Finding,Atelectasis,Cardiomegaly,Effusion", "Freeze", False, False),
+    ("EXP2", "No Finding,Atelectasis", "Freeze", False, False),
+    ("EXP3", "No Finding,Cardiomegaly", "Freeze", False, False),
+    ("EXP4", "No Finding,Effusion", "Freeze", False, False),
+    ("EXP5", "Atelectasis,Cardiomegaly,Effusion", "Freeze", False, True),
+    ("EXP6", "No Finding,Atelectasis,Cardiomegaly,Effusion", "Freeze", True, False),
+)
+
+
+def read_results_tsv(path: str) -> list[dict]:
+    rows = []
+    with open(path) as f:
+        header = f.readline().strip().split("\t")
+        for line in f:
+            vals = line.strip().split("\t")
+            if len(vals) == len(header):
+                rows.append(dict(zip(header, vals)))
+    return rows
+
+
+def best_epoch_from_results(results_tsv: str) -> tuple[int, float, float]:
+    """Pick best epoch by Val AUC, falling back to Val Acc when AUC is NaN
+    (reference: evaluate_experiment.py:289-336). Returns (epoch, acc, auc)."""
+    rows = read_results_tsv(results_tsv)
+    if not rows:
+        raise ValueError(f"empty results file {results_tsv}")
+
+    def key(row):
+        auc = float(row.get("Val AUC", "nan"))
+        acc = float(row.get("Val Acc", "nan"))
+        return (not np.isnan(auc), auc if not np.isnan(auc) else acc, acc)
+
+    best = max(rows, key=key)
+    return (
+        int(best["Epoch"]),
+        float(best.get("Val Acc", "nan")),
+        float(best.get("Val AUC", "nan")),
+    )
+
+
+def emit_best_result(exp_id: str, exp_dir: str, *, stream=None) -> str:
+    """The bash-protocol line the reference's TSV aggregation greps for
+    (evaluate_experiment.py:345, run_experiments.sh:137-148)."""
+    epoch, acc, auc = best_epoch_from_results(os.path.join(exp_dir, "results.tsv"))
+    ckpt = os.path.join(exp_dir, "orbax", f"epoch_{epoch}")
+    if not os.path.isdir(ckpt):
+        ckpt = os.path.join(exp_dir, "orbax", "best")
+    line = f"BEST_RESULT\t{exp_id}\t{epoch}\t{acc:.6f}\t{auc:.6f}\t{ckpt}"
+    print(line, file=stream or sys.stdout)
+    return line
+
+
+def evaluate_all_checkpoints(exp_dir: str, test_dataset, *, batch_size: int = 32) -> list[dict]:
+    """Evaluate every epoch_* Orbax checkpoint of an experiment on a test dataset.
+    Model config is reconstructed from the metadata embedded at save time (the
+    reference reconstructs from args inside the .pth — evaluate_experiment.py:88-114)."""
+    import jax
+
+    from projectiontrainer_tpu.checkpoint import CheckpointManager
+    from projectiontrainer_tpu.core.config import ClsConfig
+    from projectiontrainer_tpu.models import classifier as cls_model
+    from projectiontrainer_tpu.train.trainer_cls import ClsTrainer
+
+    orbax_dir = os.path.join(exp_dir, "orbax")
+    mgr = CheckpointManager(orbax_dir)
+    results = []
+    for name in sorted(os.listdir(orbax_dir)):
+        if not name.startswith("epoch_"):
+            continue
+        meta_path = os.path.join(orbax_dir, f"{name}_metadata.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        cfg = ClsConfig(**json.loads(meta["config"]))
+        names = cfg.effective_class_names()
+        # rebuild an abstract state to restore into
+        from projectiontrainer_tpu import testing as T
+
+        model_cfg = cls_model.ClassifierConfig(
+            vision=test_dataset.vision_cfg if hasattr(test_dataset, "vision_cfg")
+            else T.tiny_vision_cfg(),
+            num_classes=len(names), dropout_rate=cfg.dropout_rate,
+        )
+        trainer = ClsTrainer(
+            cfg, model_cfg=model_cfg,
+            params=cls_model.init(jax.random.key(0), model_cfg),
+            train_dataset=test_dataset, val_dataset=None,
+        )
+        trainer.state = mgr.restore(name, trainer.state)
+        loss, acc, auc = trainer.evaluate(test_dataset)
+        results.append({"checkpoint": name, "epoch": int(name[6:]),
+                        "loss": loss, "accuracy": acc, "auc": auc})
+    return results
+
+
+def plot_metrics_vs_epoch(results: Sequence[dict], out_path: str):
+    """Accuracy/AUC-vs-epoch plot (reference: evaluate_experiment.py:364-402)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = [r["epoch"] for r in results]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(epochs, [r["accuracy"] for r in results], "o-", label="Accuracy")
+    ax.plot(epochs, [r["auc"] for r in results], "s-", label="AUC")
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Metric")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+@dataclasses.dataclass
+class ExperimentJob:
+    exp_id: str
+    class_names: str
+    freeze_mode: str
+    handle_abnormal: bool
+    filter_no_finding: bool
+
+
+def run_experiment_grid(
+    *,
+    data_json: str,
+    image_root: str,
+    output_base_dir: str,
+    vision_model_name: str,
+    image_root_2: Optional[str] = None,
+    grid: Sequence = DEFAULT_EXPERIMENT_GRID,
+    epochs: int = 10,
+    lr: float = 1e-5,
+    bb_lr: float = 1e-5,
+    max_concurrent: int = 1,
+    extra_args: Sequence[str] = (),
+    summary_path: Optional[str] = None,
+) -> list[str]:
+    """Python replacement for the bash scheduler: launch each experiment as a
+    subprocess (round-robin over ``max_concurrent`` slots, ``wait``-style throttling),
+    then aggregate BEST_RESULT lines into ``all_experiments_summary.tsv``."""
+    os.makedirs(output_base_dir, exist_ok=True)
+    summary_path = summary_path or os.path.join(output_base_dir, "all_experiments_summary.tsv")
+    with open(summary_path, "w") as f:
+        f.write("ExpID\tBestEpoch\tBestAcc\tBestAUC\tBestCheckpoint\n")
+
+    running: list[tuple[str, subprocess.Popen]] = []
+    best_lines = []
+
+    def drain(block: bool):
+        nonlocal running
+        still = []
+        for exp_id, p in running:
+            if block or p.poll() is not None:
+                p.wait()
+                try:
+                    line = emit_best_result(exp_id, os.path.join(output_base_dir, exp_id))
+                    best_lines.append(line)
+                    with open(summary_path, "a") as f:
+                        f.write("\t".join(line.split("\t")[1:]) + "\n")
+                except Exception as e:
+                    print(f"[sweep] {exp_id} failed to summarize: {e}", file=sys.stderr)
+            else:
+                still.append((exp_id, p))
+        running = still
+
+    for job in grid:
+        exp_id, classes, freeze_mode, handle_abn, filter_nf = job
+        while len(running) >= max_concurrent:
+            drain(block=True)
+        cmd = [
+            sys.executable, "-m", "projectiontrainer_tpu.cli.cls_train",
+            "--exp_id", exp_id, "--class_names", classes, "--freeze_mode", freeze_mode,
+            "--data_json", data_json, "--image_root", image_root,
+            "--output_base_dir", output_base_dir,
+            "--vision_model_name", vision_model_name,
+            "--epochs", str(epochs), "--lr", str(lr), "--bb_lr", str(bb_lr),
+            *(["--image_root_2", image_root_2] if image_root_2 else []),
+            *(["--handle_abnormal"] if handle_abn else []),
+            *(["--filter_no_finding"] if filter_nf else []),
+            *extra_args,
+        ]
+        print(f"[sweep] launching {exp_id}: {' '.join(cmd)}", file=sys.stderr)
+        running.append((exp_id, subprocess.Popen(cmd)))
+    drain(block=True)
+    return best_lines

@@ -341,6 +341,14 @@ def forward(
     return x, new_caches
 
 
+def lm_head_table(params, cfg: DecoderConfig):
+    """[V, D] output-projection table (tied embedding or lm_head transpose) — feeds the
+    chunked CLM loss so full fp32 logits are never materialized."""
+    if cfg.tie_embeddings:
+        return params["embed_tokens"]["embedding"]
+    return params["lm_head"]["kernel"].T
+
+
 def logits(params, cfg: DecoderConfig, hidden):
     """LM head: tied transpose of the embedding, or a separate lm_head."""
     if cfg.tie_embeddings:

@@ -35,6 +35,48 @@ def shifted_clm_loss(logits, labels):
     return token_loss.sum() / count, valid.sum()
 
 
+def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 128,
+                             logits_scale: float = 1.0):
+    """Memory-efficient shifted CLM loss computed from hidden states.
+
+    The naive path materializes fp32 logits [B, T, V] — at Gemma3's 262k vocab and
+    T≈1087 that is tens of GB and dominates HBM. Instead we scan over T-chunks,
+    computing each chunk's logits inside ``jax.checkpoint`` so the backward pass
+    rematerializes them chunk-by-chunk: peak memory [B, chunk, V].
+
+    hidden: [B, T, D]; embed_table: [V, D] (tied LM head); labels: [B, T].
+    Semantics identical to :func:`shifted_clm_loss` (same shift, -100 mean).
+    """
+    b, t, d = hidden.shape
+    hidden = hidden[:, :-1, :]
+    labels = labels[:, 1:]
+    t = t - 1
+    n_chunks = -(-t // chunk_size)
+    pad = n_chunks * chunk_size - t
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+
+    hidden = hidden.reshape(b, n_chunks, chunk_size, d).swapaxes(0, 1)
+    labels = labels.reshape(b, n_chunks, chunk_size).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_fn(carry, inputs):
+        h, lbl = inputs
+        logits = jnp.dot(
+            h, embed_table.T.astype(h.dtype), preferred_element_type=jnp.float32
+        ) * logits_scale
+        valid = lbl != IGNORE_INDEX
+        safe = jnp.where(valid, lbl, 0)
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+        loss_sum, count = carry
+        return (loss_sum + jnp.where(valid, -ll, 0.0).sum(), count + valid.sum()), None
+
+    (loss_sum, count), _ = jax.lax.scan(chunk_fn, (0.0, 0), (hidden, labels))
+    return loss_sum / jnp.maximum(count, 1), count
+
+
 def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None):
     """The reference's Stage-0 contrastive loss, replicated exactly (Stage0/
     train_vision_encoder_stage0.py:260-269): L2-normalize both towers, pairwise logits

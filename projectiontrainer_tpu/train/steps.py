@@ -26,12 +26,26 @@ def init_state(params, tx) -> dict:
     return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
 
 
-def make_train_step(loss_fn: Callable, tx, *, donate: bool = True):
+def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mask=None):
     """loss_fn(params, batch, rng) -> (loss, aux). Returns jitted
-    step(state, batch, rng) -> (state, loss, aux)."""
+    step(state, batch, rng) -> (state, loss, aux).
+
+    ``trainable_mask`` (bool pytree) applies ``stop_gradient`` to frozen leaves before the
+    loss — this is what lets XLA DCE the frozen weight-gradient matmuls (dW = x^T dy),
+    not just zero them after the fact. Backprop through frozen *activations* (needed to
+    reach upstream trainables like the projector) is unaffected.
+    """
 
     def step(state, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        def masked_loss(params, batch, rng):
+            if trainable_mask is not None:
+                params = jax.tree.map(
+                    lambda p, m: p if m else jax.lax.stop_gradient(p),
+                    params, trainable_mask,
+                )
+            return loss_fn(params, batch, rng)
+
+        (loss, aux), grads = jax.value_and_grad(masked_loss, has_aux=True)(
             state["params"], batch, rng
         )
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
@@ -48,9 +62,27 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True):
 # ---------------------------------------------------------------------------- stage 1
 
 
-def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True):
+def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
+                          remat: bool, logits_chunk: Optional[int], lora=None,
+                          lora_cfg=None):
+    hidden, _ = dec.forward(
+        params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
+        remat=remat, lora=lora, lora_cfg=lora_cfg,
+    )
+    if logits_chunk:
+        table = dec.lm_head_table(params["llm"], cfg.llm)
+        return losses.chunked_shifted_clm_loss(
+            hidden, table, labels, chunk_size=logits_chunk
+        )
+    logits = dec.logits(params["llm"], cfg.llm, hidden)
+    return losses.shifted_clm_loss(logits, labels)
+
+
+def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
+                logits_chunk: Optional[int] = None):
     """[visual; caption] CLM loss (reference: Stage1/projector_trainer.py:160-233).
-    batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions)."""
+    batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions).
+    ``logits_chunk`` switches to the memory-efficient chunked CE (large-vocab models)."""
 
     def loss_fn(params, batch, rng):
         del rng
@@ -59,8 +91,9 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True):
             params, cfg, visual, pad_token_id=pad_token_id,
             caption_ids=batch["caption_ids"],
         )
-        logits = vlm.forward_logits(params, cfg, embeds, mask, remat=remat)
-        loss, n_tok = losses.shifted_clm_loss(logits, labels)
+        loss, n_tok = _clm_loss_from_embeds(
+            params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk
+        )
         return loss, {"tokens": n_tok}
 
     return loss_fn
@@ -69,7 +102,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True):
 # ---------------------------------------------------------------------------- stage 2
 
 
-def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None, remat: bool = True):
+def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
+                remat: bool = True, logits_chunk: Optional[int] = None):
     """[visual; question; answer] answer-masked CLM loss (reference:
     Stage2/trainer.py:306-418). batch: {'pixel_values', 'question_ids', 'answer_ids'}
     (bucketed static shapes). LoRA adapters, when configured, live at params['lora']."""
@@ -82,12 +116,10 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None, remat: 
             question_ids=batch["question_ids"], answer_ids=batch["answer_ids"],
         )
         lora = params.get("lora") if lora_cfg is not None else None
-        hidden, _ = dec.forward(
-            params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
-            remat=remat, lora=lora, lora_cfg=lora_cfg,
+        loss, n_tok = _clm_loss_from_embeds(
+            params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
+            lora=lora, lora_cfg=lora_cfg,
         )
-        logits = dec.logits(params["llm"], cfg.llm, hidden)
-        loss, n_tok = losses.shifted_clm_loss(logits, labels)
         return loss, {"tokens": n_tok}
 
     return loss_fn

@@ -58,7 +58,12 @@ class ClsTrainer:
                 accum_steps=cfg.gradient_accumulation_steps,
             )
             loss_fn = steps.classifier_loss(model_cfg, multilabel=cfg.multilabel_two_way)
-            self._steps[frozen] = (steps.make_train_step(loss_fn, tx, donate=False), tx, schedule)
+            self._steps[frozen] = (
+                steps.make_train_step(
+                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels)
+                ),
+                tx, schedule,
+            )
         first_frozen = self._epoch_frozen(0)
         _, self.tx, self.schedule = self._steps[first_frozen]
         self.state = steps.init_state(params, self.tx)

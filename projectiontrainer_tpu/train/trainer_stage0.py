@@ -64,7 +64,9 @@ class Stage0Trainer:
             accum_steps=cfg.gradient_accumulation_steps,
         )
         loss_fn = steps.stage0_loss(model_cfg)
-        self.train_step = steps.make_train_step(loss_fn, self.tx)
+        self.train_step = steps.make_train_step(
+            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
+        )
         self.state = steps.init_state(params, self.tx)
 
         self.ckpt = CheckpointManager(

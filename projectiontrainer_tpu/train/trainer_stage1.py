@@ -58,8 +58,11 @@ class Stage1Trainer:
         )
         pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
         self.pad_id = pad_id
-        loss_fn = steps.stage1_loss(vlm_cfg, pad_id)
-        self.train_step = steps.make_train_step(loss_fn, self.tx)
+        logits_chunk = 128 if vlm_cfg.llm.vocab_size >= 32_768 else None
+        loss_fn = steps.stage1_loss(vlm_cfg, pad_id, logits_chunk=logits_chunk)
+        self.train_step = steps.make_train_step(
+            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
+        )
         self.eval_step = steps.make_eval_step(steps.stage1_loss(vlm_cfg, pad_id, remat=False))
         self.state = steps.init_state(params, self.tx)
 

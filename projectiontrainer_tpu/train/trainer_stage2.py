@@ -66,7 +66,10 @@ class Stage2Trainer:
             len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
         )
 
-        loss_fn = steps.stage2_loss(vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg)
+        logits_chunk = 128 if vlm_cfg.llm.vocab_size >= 32_768 else None
+        loss_fn = steps.stage2_loss(
+            vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk
+        )
         self._loss_fn = loss_fn
         # two step variants when the VE trains only on epoch 0
         self._steps = {}
@@ -82,7 +85,12 @@ class Stage2Trainer:
                 clip_norm=cfg.grad_clip, clip_per_module=True,
                 accum_steps=cfg.gradient_accumulation_steps,
             )
-            self._steps[ve_flag] = (steps.make_train_step(loss_fn, tx, donate=False), tx, schedule)
+            self._steps[ve_flag] = (
+                steps.make_train_step(
+                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels)
+                ),
+                tx, schedule,
+            )
         _, self.tx, self.schedule = self._steps[cfg.train_ve_first_epoch]
         self.state = steps.init_state(params, self.tx)
         self.eval_step = steps.make_eval_step(

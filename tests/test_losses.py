@@ -106,3 +106,55 @@ def test_softmax_ce_matches_torch():
     expected = torch.nn.CrossEntropyLoss()(torch.tensor(logits), torch.tensor(targets)).item()
     ours = losses.softmax_ce_loss(jnp.asarray(logits), jnp.asarray(targets))
     np.testing.assert_allclose(float(ours), expected, rtol=1e-5)
+
+
+def test_chunked_clm_loss_matches_unchunked():
+    import jax
+
+    rng = np.random.default_rng(5)
+    b, t, d, v = 2, 11, 8, 23
+    hidden = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, v, size=(b, t)))
+    labels = labels.at[0, :3].set(-100)
+
+    logits = jnp.einsum("btd,vd->btv", hidden, table)
+    ref_loss, ref_count = losses.shifted_clm_loss(logits, labels)
+    for chunk in (3, 4, 16):
+        loss, count = losses.chunked_shifted_clm_loss(
+            hidden, table, labels, chunk_size=chunk
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        assert int(count) == int(ref_count)
+
+    # gradients agree too (the checkpointed scan must backprop correctly)
+    def f_ref(h):
+        return losses.shifted_clm_loss(jnp.einsum("btd,vd->btv", h, table), labels)[0]
+
+    def f_chunk(h):
+        return losses.chunked_shifted_clm_loss(h, table, labels, chunk_size=4)[0]
+
+    g_ref = jax.grad(f_ref)(hidden)
+    g_chunk = jax.grad(f_chunk)(hidden)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_stop_gradient_mask_freezes_in_step():
+    """make_train_step's trainable_mask must stop grads for frozen leaves."""
+    import jax
+    import optax
+
+    from projectiontrainer_tpu.train import steps as S
+
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((3,))}
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum((p["a"] * p["b"] - batch) ** 2), {}
+
+    tx = optax.sgd(0.1)
+    step = S.make_train_step(loss_fn, tx, donate=False,
+                             trainable_mask={"a": True, "b": False})
+    state = S.init_state(params, tx)
+    state, _, _ = step(state, jnp.zeros((3,)), jax.random.key(0))
+    assert not np.allclose(np.asarray(state["params"]["a"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(state["params"]["b"]), 1.0)
