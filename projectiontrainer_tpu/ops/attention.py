@@ -91,6 +91,9 @@ def dot_product_attention(
         mask = mask & kv_mask[:, None, None, :]
     logits = jnp.where(mask, logits, NEG_INF)
 
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # fully-masked rows (padded queries) get ZERO output, not the uniform average that
+    # softmax-over-all-NEG_INF would produce; such rows are always excluded from losses
+    probs = jnp.where(jnp.any(mask, axis=-1, keepdims=True), probs, 0.0).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)

@@ -1,0 +1,387 @@
+"""Pallas TPU flash attention: tiled online-softmax attention, forward + custom VJP.
+
+The framework's native kernel deliverable (SURVEY §2.4: the reference's conditional
+flash-attention-2 CUDA dependency at Stage2/train_vqa_stage2.py:186 becomes a
+Mosaic-compiled Pallas kernel). Design:
+
+- Grid (batch, q_head, q_blocks); K/V for the (batch, kv_head) pair live in VMEM whole
+  (our sequences are <= ~1.6k tokens: 575 visual + 1024 text — SURVEY §5.7; K+V at
+  D=256 bf16 is ~1.6MB, far under the ~16MB VMEM budget), and the kernel streams KV in
+  BK-sized chunks with the online max/denominator recurrence — no [T, T] scores ever
+  reach HBM.
+- GQA: q head h reads kv head h // (Hq // Hkv) via the BlockSpec index map.
+- Masking: causal, sliding window, and per-batch KV padding composed inside the kernel
+  from broadcasted iotas; fully-masked KV chunks are skipped with @pl.when.
+- Backward: flash-attention-2 style recomputation — forward also writes the per-row
+  logsumexp L; backward kernel 1 recomputes P = exp(S - L) per block to accumulate
+  dK/dV (grid over kv blocks), kernel 2 accumulates dQ (grid over q blocks).
+- Blockwise structure means longer sequences are a block-count change, not a redesign.
+
+Falls back to ops/attention.py's XLA path off-TPU or for unsupported shapes
+(``flash_attention_supported``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.3819763e38
+
+DEFAULT_BQ = 256
+DEFAULT_BK = 256
+
+
+def flash_attention_supported(q, k, v, *, window=None) -> bool:
+    """Self-attention shapes only (training/prefill): same q/kv length, no cache decode;
+    head_dim must tile the lane dimension cleanly."""
+    if jax.default_backend() != "tpu":
+        return False
+    b, tq, hq, d = q.shape
+    _, tk, hkv, _ = k.shape
+    if tq != tk:
+        return False
+    if d % 64 != 0:
+        return False
+    if hq % hkv != 0:
+        return False
+    return True
+
+
+def _blocks(t: int, b: int) -> int:
+    return -(-t // b)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, window,
+                bq, bk, t_real, use_mask):
+    qi = pl.program_id(2)
+    q = q_ref[0, :, 0, :].astype(jnp.float32)  # [BQ, D]
+    t_pad = k_ref.shape[1]
+    n_kv = t_pad // bk
+
+    q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)  # [BK, D]
+        v_blk = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, BK]
+
+        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        valid = k_pos < t_real
+        if causal:
+            valid &= k_pos <= q_pos
+        if window is not None:
+            valid &= k_pos > q_pos - window
+        if use_mask:
+            kv_mask_blk = mask_ref[0, pl.ds(j * bk, bk)]  # [BK] int32
+            valid &= (kv_mask_blk > 0)[None, :]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # explicit zero for invalid entries: fully-masked rows end with l=0 -> output 0
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    if causal:
+        # skip kv blocks strictly above the diagonal for this q block
+        n_needed = jnp.minimum(n_kv, pl.cdiv((qi + 1) * bq, bk))
+        m, l, acc = jax.lax.fori_loop(0, n_needed, body, (m0, l0, acc0))
+    else:
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, :, 0, :] = (acc / l_safe).astype(o_ref.dtype)
+    # logsumexp per row (for the backward pass)
+    l_ref[0, 0, :] = (m[:, 0] + jnp.log(l_safe[:, 0]))
+
+
+def _pad_to(x, t_pad, axis):
+    pad = t_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd(q, k, v, kv_mask, *, scale, causal, window, bq, bk, interpret=False):
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    bq_ = min(bq, max(128, 1 << (t - 1).bit_length())) if t < bq else bq
+    bq_ = min(bq, bq_)
+    bk_ = min(bk, bq_)
+    t_pad = _blocks(t, max(bq_, bk_)) * max(bq_, bk_)
+
+    qp = _pad_to(q, _blocks(t, bq_) * bq_, 1)
+    kp = _pad_to(k, _blocks(t_pad, bk_) * bk_, 1)
+    vp = _pad_to(v, kp.shape[1], 1)
+    tq_pad = qp.shape[1]
+    tk_pad = kp.shape[1]
+
+    use_mask = kv_mask is not None
+    if use_mask:
+        mask_arr = _pad_to(kv_mask.astype(jnp.int32), tk_pad, 1)
+    else:
+        mask_arr = jnp.ones((b, tk_pad), jnp.int32)
+
+    grid = (b, hq, _blocks(tq_pad, bq_))
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, window=window, bq=bq_, bk=bk_,
+        t_real=t, use_mask=use_mask,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, tk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
+            pl.BlockSpec((1, tk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
+            pl.BlockSpec((1, tk_pad), lambda bi, hi, qi: (bi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, hq, tq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mask_arr)
+    return out[:, :t], lse[:, :, :t]
+
+
+# ---------------------------------------------------------------------------- backward
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale, causal, window, bq, bk, t_real, use_mask):
+    ki = pl.program_id(2)
+    k_blk = k_ref[0, :, 0, :].astype(jnp.float32)   # [BK, D]
+    v_blk = v_ref[0, :, 0, :].astype(jnp.float32)
+    t_pad = q_ref.shape[1]
+    n_q = t_pad // bq
+    k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+
+    if use_mask:
+        kv_valid = (mask_ref[0, pl.ds(ki * bk, bk)] > 0)[None, :]
+
+    dk0 = jnp.zeros((bk, k_ref.shape[3]), jnp.float32)
+    dv0 = jnp.zeros((bk, k_ref.shape[3]), jnp.float32)
+
+    def body(j, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(j * bq, bq), 0, :].astype(jnp.float32)  # [BQ, D]
+        do_blk = do_ref[0, pl.ds(j * bq, bq), 0, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(j * bq, bq)]                         # [BQ]
+        delta = delta_ref[0, 0, pl.ds(j * bq, bq)]                     # [BQ]
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [BQ, BK]
+        q_pos = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        valid = (k_pos < t_real) & (q_pos < t_real)
+        if causal:
+            valid &= k_pos <= q_pos
+        if window is not None:
+            valid &= k_pos > q_pos - window
+        if use_mask:
+            valid &= kv_valid
+        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # [BQ, BK]
+
+        dv = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None]) * scale
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    if causal:
+        j_start = (ki * bk) // bq
+        dk, dv = jax.lax.fori_loop(j_start, n_q, body, (dk0, dv0))
+    else:
+        dk, dv = jax.lax.fori_loop(0, n_q, body, (dk0, dv0))
+    dk_ref[0, :, 0, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, :, 0, :] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   *, scale, causal, window, bq, bk, t_real, use_mask):
+    qi = pl.program_id(2)
+    q_blk = q_ref[0, :, 0, :].astype(jnp.float32)
+    do_blk = do_ref[0, :, 0, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :]
+    delta = delta_ref[0, 0, :]
+    t_pad = k_ref.shape[1]
+    n_kv = t_pad // bk
+    q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    dq0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+
+    def body(j, dq):
+        k_blk = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        valid = k_pos < t_real
+        if causal:
+            valid &= k_pos <= q_pos
+        if window is not None:
+            valid &= k_pos > q_pos - window
+        if use_mask:
+            valid &= (mask_ref[0, pl.ds(j * bk, bk)] > 0)[None, :]
+        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta[:, None]) * scale
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        n_needed = jnp.minimum(n_kv, pl.cdiv((qi + 1) * bq, bk))
+        dq = jax.lax.fori_loop(0, n_needed, body, dq0)
+    else:
+        dq = jax.lax.fori_loop(0, n_kv, body, dq0)
+    dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+
+
+def _bwd(q, k, v, kv_mask, out, lse, do, *, scale, causal, window, bq, bk,
+         interpret=False):
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    bq_ = min(bq, 1 << max(7, (t - 1).bit_length()))
+    bq_ = min(bq, bq_)
+    bk_ = min(bk, bq_)
+    blk = max(bq_, bk_)
+    t_pad = _blocks(t, blk) * blk
+
+    qp, dop, op = (_pad_to(x, t_pad, 1) for x in (q, do, out))
+    kp, vp = (_pad_to(x, t_pad, 1) for x in (k, v))
+    lsep = _pad_to(lse, t_pad, 2)
+    use_mask = kv_mask is not None
+    mask_arr = (
+        _pad_to(kv_mask.astype(jnp.int32), t_pad, 1) if use_mask
+        else jnp.ones((b, t_pad), jnp.int32)
+    )
+
+    delta = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)  # [B,T,H]
+    delta = delta.transpose(0, 2, 1)  # [B, H, T]
+
+    common = dict(scale=scale, causal=causal, window=window, bq=bq_, bk=bk_,
+                  t_real=t, use_mask=use_mask)
+
+    # dK/dV over expanded q-heads, then sum over the GQA group
+    dk_ex, dv_ex = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(b, hq, _blocks(t_pad, bk_)),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, ki: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi // n_rep, 0)),
+            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi // n_rep, 0)),
+            pl.BlockSpec((1, t_pad), lambda bi, hi, ki: (bi, 0)),
+            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, ki: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t_pad, hq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, hq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mask_arr, dop, lsep, delta)
+
+    dk = dk_ex.reshape(b, t_pad, hkv, n_rep, d).sum(axis=3)[:, :t].astype(k.dtype)
+    dv = dv_ex.reshape(b, t_pad, hkv, n_rep, d).sum(axis=3)[:, :t].astype(v.dtype)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, hq, _blocks(t_pad, bq_)),
+        in_specs=[
+            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
+            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
+            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, hq, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, mask_arr, dop, lsep, delta)[:, :t]
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------- public
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnames=("scale", "causal", "window", "bq", "bk", "interpret")
+)
+def _flash(q, k, v, kv_mask, scale, causal, window, bq, bk, interpret):
+    out, _ = _fwd(q, k, v, kv_mask, scale=scale, causal=causal, window=window,
+                  bq=bq, bk=bk, interpret=interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, kv_mask, scale, causal, window, bq, bk, interpret):
+    out, lse = _fwd(q, k, v, kv_mask, scale=scale, causal=causal, window=window,
+                    bq=bq, bk=bk, interpret=interpret)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_bwd(scale, causal, window, bq, bk, interpret, residuals, g):
+    q, k, v, kv_mask, out, lse = residuals
+    dq, dk, dv = _bwd(q, k, v, kv_mask, out, lse, g, scale=scale, causal=causal,
+                      window=window, bq=bq, bk=bk, interpret=interpret)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q, k, v, *, scale: Optional[float] = None, causal: bool = False,
+    window: Optional[int] = None, kv_mask=None, q_offset=0,
+    bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK, interpret: bool = False,
+):
+    """Drop-in for ops.attention.dot_product_attention on self-attention shapes.
+    q/k/v: [B, T, H{q,kv}, D] -> [B, T, Hq, D]."""
+    del q_offset  # self-attention only (checked by flash_attention_supported)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, kv_mask, scale, causal, window, bq, bk, interpret)

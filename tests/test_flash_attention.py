@@ -1,0 +1,97 @@
+"""Flash-attention kernel correctness vs the XLA reference path (interpret mode on CPU):
+forward and gradients, across causal/sliding-window/padding-mask/GQA configurations."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.ops.attention import dot_product_attention
+from projectiontrainer_tpu.ops.flash_attention import flash_attention
+
+TOL = dict(rtol=2e-3, atol=2e-3)
+
+
+def make_qkv(b=2, t=160, hq=4, hkv=2, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, t, hq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, hkv, d)).astype(np.float32))
+    return q, k, v
+
+
+CASES = [
+    dict(causal=False, window=None, masked=False),
+    dict(causal=True, window=None, masked=False),
+    dict(causal=True, window=48, masked=False),
+    dict(causal=False, window=None, masked=True),
+    dict(causal=True, window=None, masked=True),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_flash_forward_matches_reference(case):
+    q, k, v = make_qkv()
+    kv_mask = None
+    if case["masked"]:
+        kv_mask = jnp.asarray(
+            np.random.default_rng(1).random((2, 160)) > 0.2
+        )
+    ref = dot_product_attention(
+        q, k, v, causal=case["causal"], window=case["window"], kv_mask=kv_mask
+    )
+    out = flash_attention(
+        q, k, v, causal=case["causal"], window=case["window"], kv_mask=kv_mask,
+        bq=64, bk=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
+def test_flash_forward_unaligned_length():
+    q, k, v = make_qkv(t=150)  # not a multiple of the block size
+    ref = dot_product_attention(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, bq=64, bk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+
+@pytest.mark.parametrize("case", CASES[:3])
+def test_flash_grads_match_reference(case):
+    q, k, v = make_qkv(b=1, t=96, hq=2, hkv=1, d=64)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            dot_product_attention(q, k, v, causal=case["causal"], window=case["window"])
+            ** 2
+        )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=case["causal"], window=case["window"],
+                            bq=32, bk=32, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
+
+
+def test_flash_grads_with_mask():
+    q, k, v = make_qkv(b=2, t=64, hq=2, hkv=2, d=64, seed=3)
+    kv_mask = jnp.asarray(np.random.default_rng(2).random((2, 64)) > 0.3)
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return inner
+
+    ref_fn = loss(lambda q, k, v: dot_product_attention(q, k, v, causal=True, kv_mask=kv_mask))
+    flash_fn = loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=True, kv_mask=kv_mask, bq=32, bk=32, interpret=True))
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(flash_fn, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
