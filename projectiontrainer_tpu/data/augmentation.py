@@ -121,6 +121,46 @@ def apply_pipeline(
     return out
 
 
+def augment_and_preprocess_fast(
+    image: np.ndarray, size: int, rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Sampled augmentation + SigLIP preprocessing in (usually) ONE native pass.
+
+    Samples the same parameter distribution as :func:`apply_pipeline`; the 80% of
+    images that draw no elastic transform go through the C++ fused kernel
+    (runtime/native.fused_preprocess: flip+zoom+shift+contrast+resize+normalize with
+    no intermediates); elastic draws fall back to the exact cv2 pipeline.
+    Returns float32 [size, size, 3] in [-1, 1].
+    """
+    from projectiontrainer_tpu.data.image import preprocess
+    from projectiontrainer_tpu.runtime import native
+
+    rng = rng or np.random.default_rng()
+    do_flip = rng.random() < 0.5
+    zoom = float(rng.uniform(SCALE_MIN, SCALE_MAX))
+    dx = int(rng.integers(SHIFT_MIN, SHIFT_MAX + 1))
+    dy = int(rng.integers(SHIFT_MIN, SHIFT_MAX + 1))
+    do_contrast = rng.random() < 0.3
+    alpha = float(rng.uniform(CONTRAST_MIN, CONTRAST_MAX)) if do_contrast else 1.0
+    do_elastic = rng.random() < 0.2
+
+    if do_elastic:
+        out = image
+        if do_flip:
+            out = flip_horizontal(out)
+        out = scale(out, zoom)
+        out = shift(out, dx, dy)
+        if do_contrast:
+            out = contrast(out, alpha)
+        out = elastic(out, float(rng.uniform(*ELASTIC_ALPHA)),
+                      float(rng.uniform(*ELASTIC_SIGMA)), rng=rng)
+        return preprocess(out, size)
+
+    return native.fused_preprocess(
+        image, size, flip=do_flip, zoom=zoom, dx=dx, dy=dy, contrast=alpha
+    )
+
+
 def expand_dataset(
     input_json: str,
     image_root: str,

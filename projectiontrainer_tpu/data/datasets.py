@@ -23,7 +23,6 @@ from typing import Optional, Sequence
 import numpy as np
 
 from projectiontrainer_tpu.data import image as I
-from projectiontrainer_tpu.data.augmentation import apply_pipeline
 
 
 def load_manifest(json_file: str) -> list[dict]:
@@ -163,11 +162,20 @@ class ContrastiveDataset:
         sample = self.samples[idx]
         caption = str(sample["normal_caption"])
         try:
-            aug = (lambda a, rng: apply_pipeline(a, rng=rng)) if self.augment else None
-            pixels = I.load_and_preprocess(
-                sample["image"], self.image_size, self.image_root, self.image_root_2,
-                augment=aug, rng=self.rng,
-            )
+            if self.augment:
+                from projectiontrainer_tpu.data.augmentation import (
+                    augment_and_preprocess_fast,
+                )
+
+                path = I.resolve_image_path(
+                    sample["image"], self.image_root, self.image_root_2
+                )
+                arr = np.asarray(I.load_image(path))
+                pixels = augment_and_preprocess_fast(arr, self.image_size, rng=self.rng)
+            else:
+                pixels = I.load_and_preprocess(
+                    sample["image"], self.image_size, self.image_root, self.image_root_2
+                )
         except (FileNotFoundError, OSError):
             return self._invalid()
         enc = self.tokenizer(

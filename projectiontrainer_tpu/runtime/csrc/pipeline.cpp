@@ -1,0 +1,186 @@
+// Native host-side image pipeline for the TPU input path.
+//
+// The reference's input pipeline is PIL + cv2 + scipy called op-by-op from Python
+// (augmentation.py:18-156, datasets' __getitem__); each image makes 4-6 Python->C
+// round trips and materializes an intermediate per op. This library provides:
+//
+//  - exact-parity single ops (resize/flip/shift/contrast/normalize) used by tests,
+//  - fused_preprocess(): ONE pass per image combining flip + zoom + shift (a single
+//    inverse affine with bilinear sampling and reflect-101 borders) + contrast +
+//    normalize-to-[-1,1] float32 at the target resolution — the augmentation +
+//    SigLIP-preprocessing hot path with no intermediates,
+//  - batch variants parallelized with OpenMP across images.
+//
+// Exposed as a plain C ABI consumed via ctypes (runtime/native.py); no pybind11.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------- helpers
+
+static inline int reflect101(int x, int n) {
+  // OpenCV BORDER_REFLECT_101: gfedcb|abcdefgh|gfedcba
+  if (n == 1) return 0;
+  while (x < 0 || x >= n) {
+    if (x < 0) x = -x;
+    if (x >= n) x = 2 * (n - 1) - x;
+  }
+  return x;
+}
+
+static inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Bilinear sample with reflect-101 border from an HWC u8 image.
+static inline void sample_bilinear_u8(const uint8_t* src, int h, int w, int c,
+                                      float fy, float fx, float* out) {
+  int x0 = (int)std::floor(fx), y0 = (int)std::floor(fy);
+  float ax = fx - x0, ay = fy - y0;
+  int x1 = x0 + 1, y1 = y0 + 1;
+  int rx0 = reflect101(x0, w), rx1 = reflect101(x1, w);
+  int ry0 = reflect101(y0, h), ry1 = reflect101(y1, h);
+  const uint8_t* p00 = src + (ry0 * w + rx0) * c;
+  const uint8_t* p01 = src + (ry0 * w + rx1) * c;
+  const uint8_t* p10 = src + (ry1 * w + rx0) * c;
+  const uint8_t* p11 = src + (ry1 * w + rx1) * c;
+  for (int k = 0; k < c; ++k) {
+    float top = p00[k] + ax * (p01[k] - p00[k]);
+    float bot = p10[k] + ax * (p11[k] - p10[k]);
+    out[k] = top + ay * (bot - top);
+  }
+}
+
+// ---------------------------------------------------------------------- single ops
+
+// Bilinear resize u8 HWC -> u8 HWC (cv2.INTER_LINEAR-compatible sampling grid).
+void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
+                        uint8_t* dst, int oh, int ow) {
+  const float sy = (float)h / oh, sx = (float)w / ow;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    for (int x = 0; x < ow; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      float px[8];
+      // clamp (cv2 resize uses replicated border semantics at edges)
+      float cfy = clampf(fy, 0.0f, (float)(h - 1));
+      float cfx = clampf(fx, 0.0f, (float)(w - 1));
+      sample_bilinear_u8(src, h, w, c, cfy, cfx, px);
+      uint8_t* d = dst + (y * ow + x) * c;
+      for (int k = 0; k < c; ++k) d[k] = (uint8_t)clampf(px[k] + 0.5f, 0.f, 255.f);
+    }
+  }
+}
+
+void flip_horizontal_u8(const uint8_t* src, int h, int w, int c, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      std::memcpy(dst + (y * w + x) * c, src + (y * w + (w - 1 - x)) * c, c);
+}
+
+// Shift with reflect-101 border (cv2.warpAffine translation parity).
+void shift_reflect_u8(const uint8_t* src, int h, int w, int c, int dx, int dy,
+                      uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    int sy = reflect101(y - dy, h);
+    for (int x = 0; x < w; ++x) {
+      int sx = reflect101(x - dx, w);
+      std::memcpy(dst + (y * w + x) * c, src + (sy * w + sx) * c, c);
+    }
+  }
+}
+
+// Saturating contrast scale (cv2.convertScaleAbs parity: round + clamp).
+void contrast_u8(const uint8_t* src, int n, float alpha, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n; ++i)
+    dst[i] = (uint8_t)clampf(std::round(src[i] * alpha), 0.f, 255.f);
+}
+
+// u8 -> f32 (x * rescale - mean) / std
+void normalize_f32(const uint8_t* src, int n, float rescale, float mean, float std_,
+                   float* dst) {
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n; ++i)
+    dst[i] = ((float)src[i] * rescale - mean) / std_;
+}
+
+// ---------------------------------------------------------------------- fused path
+
+// One-pass augment + preprocess:
+//   output pixel (y, x) at target size S maps back through:
+//     normalize <- contrast <- resize(S) <- shift(dx,dy) <- scale(zoom) <- flip
+//   composed as a single inverse affine into the source image, bilinear sampled with
+//   reflect-101 borders (zoom-out regions outside the scaled image are zero, matching
+//   the reference's zero-pad — augmentation.py:38-45).
+void fused_preprocess(const uint8_t* src, int h, int w, int c,
+                      int flip, float zoom, float dx, float dy, float contrast_alpha,
+                      int size, float rescale, float mean, float std_, float* dst) {
+  const float sy = (float)h / size, sx = (float)w / size;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      // resize grid -> full-res coords
+      float fy = (y + 0.5f) * sy - 0.5f;
+      float fx = (x + 0.5f) * sx - 0.5f;
+      // invert shift (reflect handled by sampler)
+      fy -= dy;
+      fx -= dx;
+      // invert scale about the image center (zoom-in center-crop / zoom-out pad)
+      float cy = (h - 1) * 0.5f, cx = (w - 1) * 0.5f;
+      float gy = (fy - cy) / zoom + cy;
+      float gx = (fx - cx) / zoom + cx;
+      float* out = dst + (y * size + x) * c;
+      bool outside = zoom < 1.0f && (gy < -0.5f || gy > h - 0.5f ||
+                                     gx < -0.5f || gx > w - 0.5f);
+      if (outside) {
+        for (int k = 0; k < c; ++k) out[k] = (0.0f * rescale - mean) / std_;
+        continue;
+      }
+      gy = clampf(gy, 0.0f, (float)(h - 1));
+      gx = clampf(gx, 0.0f, (float)(w - 1));
+      if (flip) gx = (w - 1) - gx;
+      float px[8];
+      sample_bilinear_u8(src, h, w, c, gy, gx, px);
+      for (int k = 0; k < c; ++k) {
+        float v = clampf(std::round(px[k] * contrast_alpha), 0.f, 255.f);
+        out[k] = (v * rescale - mean) / std_;
+      }
+    }
+  }
+}
+
+// Batch: each image has its own augmentation params (flip/zoom/dx/dy/contrast rows).
+void fused_preprocess_batch(const uint8_t* const* srcs, const int* hs, const int* ws,
+                            int c, const int* flips, const float* zooms,
+                            const float* dxs, const float* dys, const float* contrasts,
+                            int n, int size, float rescale, float mean, float std_,
+                            float* dst) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < n; ++i) {
+    fused_preprocess(srcs[i], hs[i], ws[i], c, flips[i], zooms[i], dxs[i], dys[i],
+                     contrasts[i], size, rescale, mean, std_,
+                     dst + (size_t)i * size * size * c);
+  }
+}
+
+int ptt_num_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"
