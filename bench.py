@@ -40,8 +40,11 @@ def _build_stage1(batch: int, tiny: bool):
         caption_len = 16
         image = cfg.vision.image_size
     else:
-        vis = siglip.vit_l_16_384()
-        llm = dec.gemma3_config()  # 1B shape: 26L, hidden 1152, 262k vocab
+        import dataclasses
+
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
+        vis = dataclasses.replace(siglip.vit_l_16_384(), attn_impl=attn)
+        llm = dec.gemma3_config(attn_impl=attn)  # 1B shape: 26L, hidden 1152, 262k vocab
         cfg = vlm.VLMConfig(
             vision=vis,
             projector=proj.ProjectorConfig(

@@ -4,17 +4,18 @@ The framework's native kernel deliverable (SURVEY §2.4: the reference's conditi
 flash-attention-2 CUDA dependency at Stage2/train_vqa_stage2.py:186 becomes a
 Mosaic-compiled Pallas kernel). Design:
 
+- Internal layout [B, H, T, D] so every block's trailing (T-block, D) dims tile the
+  TPU (8, 128) constraint; the public API stays [B, T, H, D] with cheap transposes.
 - Grid (batch, q_head, q_blocks); K/V for the (batch, kv_head) pair live in VMEM whole
   (our sequences are <= ~1.6k tokens: 575 visual + 1024 text — SURVEY §5.7; K+V at
-  D=256 bf16 is ~1.6MB, far under the ~16MB VMEM budget), and the kernel streams KV in
-  BK-sized chunks with the online max/denominator recurrence — no [T, T] scores ever
-  reach HBM.
+  D=256 bf16 is ~1.6MB, far under the ~16MB VMEM budget) and stream through the online
+  max/denominator recurrence in BK-chunks — no [T, T] scores ever reach HBM.
 - GQA: q head h reads kv head h // (Hq // Hkv) via the BlockSpec index map.
-- Masking: causal, sliding window, and per-batch KV padding composed inside the kernel
-  from broadcasted iotas; fully-masked KV chunks are skipped with @pl.when.
-- Backward: flash-attention-2 style recomputation — forward also writes the per-row
-  logsumexp L; backward kernel 1 recomputes P = exp(S - L) per block to accumulate
-  dK/dV (grid over kv blocks), kernel 2 accumulates dQ (grid over q blocks).
+- Masking: causal, sliding window, per-batch KV padding, composed from broadcasted
+  iotas; fully-masked rows produce ZERO output (defined semantics shared with the XLA
+  path); causal grids skip fully-above-diagonal KV blocks.
+- Backward: flash-attention-2 recomputation — forward also writes per-row logsumexp;
+  kernel 1 accumulates dK/dV (grid over kv blocks), kernel 2 accumulates dQ.
 - Blockwise structure means longer sequences are a block-count change, not a redesign.
 
 Falls back to ops/attention.py's XLA path off-TPU or for unsupported shapes
@@ -29,7 +30,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.3819763e38
 
@@ -57,23 +57,44 @@ def _blocks(t: int, b: int) -> int:
     return -(-t // b)
 
 
+def _pick_blocks(t: int, bq: int, bk: int) -> tuple[int, int, int]:
+    bq_ = min(bq, max(8, 1 << (t - 1).bit_length()))
+    bk_ = min(bk, bq_)
+    blk = max(bq_, bk_)
+    t_pad = _blocks(t, blk) * blk
+    return bq_, bk_, t_pad
+
+
+def _pad_to(x, t_pad, axis):
+    pad = t_pad - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ------------------------------------------------------------------- forward kernel
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, window,
                 bq, bk, t_real, use_mask):
     qi = pl.program_id(2)
-    q = q_ref[0, :, 0, :].astype(jnp.float32)  # [BQ, D]
-    t_pad = k_ref.shape[1]
+    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    t_pad = k_ref.shape[2]
     n_kv = t_pad // bk
+    d = q_ref.shape[3]
 
     q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
 
     def body(j, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)  # [BK, D]
-        v_blk = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [BK, D]
+        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BK]
@@ -85,8 +106,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, w
         if window is not None:
             valid &= k_pos > q_pos - window
         if use_mask:
-            kv_mask_blk = mask_ref[0, pl.ds(j * bk, bk)]  # [BK] int32
-            valid &= (kv_mask_blk > 0)[None, :]
+            valid &= (mask_ref[0, 0, pl.ds(j * bk, bk)] > 0)[None, :]
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -100,50 +120,34 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, w
         return m_new, l_new, acc_new
 
     if causal:
-        # skip kv blocks strictly above the diagonal for this q block
         n_needed = jnp.minimum(n_kv, pl.cdiv((qi + 1) * bq, bk))
         m, l, acc = jax.lax.fori_loop(0, n_needed, body, (m0, l0, acc0))
     else:
         m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
 
     l_safe = jnp.maximum(l, 1e-30)
-    o_ref[0, :, 0, :] = (acc / l_safe).astype(o_ref.dtype)
-    # logsumexp per row (for the backward pass)
-    l_ref[0, 0, :] = (m[:, 0] + jnp.log(l_safe[:, 0]))
-
-
-def _pad_to(x, t_pad, axis):
-    pad = t_pad - x.shape[axis]
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    l_ref[0, 0, 0, :] = m[:, 0] + jnp.log(l_safe[:, 0])
 
 
 def _fwd(q, k, v, kv_mask, *, scale, causal, window, bq, bk, interpret=False):
-    b, t, hq, d = q.shape
-    hkv = k.shape[2]
+    """q/k/v in [B, H, T, D] (internal layout). Returns (out BHTD, lse [B,H,1,T])."""
+    b, hq, t, d = q.shape
+    hkv = k.shape[1]
     n_rep = hq // hkv
-    bq_ = min(bq, max(128, 1 << (t - 1).bit_length())) if t < bq else bq
-    bq_ = min(bq, bq_)
-    bk_ = min(bk, bq_)
-    t_pad = _blocks(t, max(bq_, bk_)) * max(bq_, bk_)
+    bq_, bk_, t_pad = _pick_blocks(t, bq, bk)
 
-    qp = _pad_to(q, _blocks(t, bq_) * bq_, 1)
-    kp = _pad_to(k, _blocks(t_pad, bk_) * bk_, 1)
-    vp = _pad_to(v, kp.shape[1], 1)
-    tq_pad = qp.shape[1]
-    tk_pad = kp.shape[1]
+    qp = _pad_to(q, t_pad, 2)
+    kp = _pad_to(k, t_pad, 2)
+    vp = _pad_to(v, t_pad, 2)
 
     use_mask = kv_mask is not None
-    if use_mask:
-        mask_arr = _pad_to(kv_mask.astype(jnp.int32), tk_pad, 1)
-    else:
-        mask_arr = jnp.ones((b, tk_pad), jnp.int32)
+    mask_arr = (
+        _pad_to(kv_mask.astype(jnp.int32), t_pad, 1) if use_mask
+        else jnp.ones((b, t_pad), jnp.int32)
+    )[:, None, :]  # [B, 1, T]
 
-    grid = (b, hq, _blocks(tq_pad, bq_))
-
+    grid = (b, hq, _blocks(t_pad, bq_))
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, window=window, bq=bq_, bk=bk_,
         t_real=t, use_mask=use_mask,
@@ -152,48 +156,48 @@ def _fwd(q, k, v, kv_mask, *, scale, causal, window, bq, bk, interpret=False):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, tk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
-            pl.BlockSpec((1, tk_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
-            pl.BlockSpec((1, tk_pad), lambda bi, hi, qi: (bi, 0)),
+            pl.BlockSpec((1, 1, bq_, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, bq_, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq_), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, hq, tq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, 1, t_pad), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, mask_arr)
-    return out[:, :t], lse[:, :, :t]
+    return out[:, :, :t], lse[..., :t]
 
 
-# ---------------------------------------------------------------------------- backward
+# ------------------------------------------------------------------- backward
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, causal, window, bq, bk, t_real, use_mask):
     ki = pl.program_id(2)
-    k_blk = k_ref[0, :, 0, :].astype(jnp.float32)   # [BK, D]
-    v_blk = v_ref[0, :, 0, :].astype(jnp.float32)
-    t_pad = q_ref.shape[1]
+    k_blk = k_ref[0, 0].astype(jnp.float32)   # [BK, D]
+    v_blk = v_ref[0, 0].astype(jnp.float32)
+    t_pad = q_ref.shape[2]
     n_q = t_pad // bq
+    d = q_ref.shape[3]
     k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-
     if use_mask:
-        kv_valid = (mask_ref[0, pl.ds(ki * bk, bk)] > 0)[None, :]
+        kv_valid = (mask_ref[0, 0, pl.ds(ki * bk, bk)] > 0)[None, :]
 
-    dk0 = jnp.zeros((bk, k_ref.shape[3]), jnp.float32)
-    dv0 = jnp.zeros((bk, k_ref.shape[3]), jnp.float32)
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
 
     def body(j, carry):
         dk, dv = carry
-        q_blk = q_ref[0, pl.ds(j * bq, bq), 0, :].astype(jnp.float32)  # [BQ, D]
-        do_blk = do_ref[0, pl.ds(j * bq, bq), 0, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(j * bq, bq)]                         # [BQ]
-        delta = delta_ref[0, 0, pl.ds(j * bq, bq)]                     # [BQ]
+        q_blk = q_ref[0, 0, pl.ds(j * bq, bq), :].astype(jnp.float32)
+        do_blk = do_ref[0, 0, pl.ds(j * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, pl.ds(j * bq, bq)]
+        delta = delta_ref[0, 0, 0, pl.ds(j * bq, bq)]
 
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -206,7 +210,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
             valid &= k_pos > q_pos - window
         if use_mask:
             valid &= kv_valid
-        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # [BQ, BK]
+        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
 
         dv = dv + jax.lax.dot_general(
             p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -225,26 +229,27 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dk, dv = jax.lax.fori_loop(j_start, n_q, body, (dk0, dv0))
     else:
         dk, dv = jax.lax.fori_loop(0, n_q, body, (dk0, dv0))
-    dk_ref[0, :, 0, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, :, 0, :] = dv.astype(dv_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, causal, window, bq, bk, t_real, use_mask):
     qi = pl.program_id(2)
-    q_blk = q_ref[0, :, 0, :].astype(jnp.float32)
-    do_blk = do_ref[0, :, 0, :].astype(jnp.float32)
-    lse = lse_ref[0, 0, :]
-    delta = delta_ref[0, 0, :]
-    t_pad = k_ref.shape[1]
+    q_blk = q_ref[0, 0].astype(jnp.float32)
+    do_blk = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0, :]
+    delta = delta_ref[0, 0, 0, :]
+    t_pad = k_ref.shape[2]
     n_kv = t_pad // bk
+    d = q_ref.shape[3]
     q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
-    dq0 = jnp.zeros((bq, q_ref.shape[3]), jnp.float32)
+    dq0 = jnp.zeros((bq, d), jnp.float32)
 
     def body(j, dq):
-        k_blk = k_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * bk, bk), 0, :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -255,7 +260,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
         if window is not None:
             valid &= k_pos > q_pos - window
         if use_mask:
-            valid &= (mask_ref[0, pl.ds(j * bk, bk)] > 0)[None, :]
+            valid &= (mask_ref[0, 0, pl.ds(j * bk, bk)] > 0)[None, :]
         p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(
             do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -270,83 +275,80 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
         dq = jax.lax.fori_loop(0, n_needed, body, dq0)
     else:
         dq = jax.lax.fori_loop(0, n_kv, body, dq0)
-    dq_ref[0, :, 0, :] = dq.astype(dq_ref.dtype)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd(q, k, v, kv_mask, out, lse, do, *, scale, causal, window, bq, bk,
          interpret=False):
-    b, t, hq, d = q.shape
-    hkv = k.shape[2]
+    """All tensors in [B, H, T, D]; lse [B, H, 1, T]."""
+    b, hq, t, d = q.shape
+    hkv = k.shape[1]
     n_rep = hq // hkv
-    bq_ = min(bq, 1 << max(7, (t - 1).bit_length()))
-    bq_ = min(bq, bq_)
-    bk_ = min(bk, bq_)
-    blk = max(bq_, bk_)
-    t_pad = _blocks(t, blk) * blk
+    bq_, bk_, t_pad = _pick_blocks(t, bq, bk)
 
-    qp, dop, op = (_pad_to(x, t_pad, 1) for x in (q, do, out))
-    kp, vp = (_pad_to(x, t_pad, 1) for x in (k, v))
-    lsep = _pad_to(lse, t_pad, 2)
+    qp, dop, op = (_pad_to(x, t_pad, 2) for x in (q, do, out))
+    kp, vp = (_pad_to(x, t_pad, 2) for x in (k, v))
+    lsep = _pad_to(lse, t_pad, 3)
     use_mask = kv_mask is not None
     mask_arr = (
         _pad_to(kv_mask.astype(jnp.int32), t_pad, 1) if use_mask
         else jnp.ones((b, t_pad), jnp.int32)
-    )
+    )[:, None, :]
 
-    delta = jnp.sum(op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1)  # [B,T,H]
-    delta = delta.transpose(0, 2, 1)  # [B, H, T]
+    delta = jnp.sum(
+        op.astype(jnp.float32) * dop.astype(jnp.float32), axis=-1, keepdims=True
+    ).swapaxes(2, 3)  # [B, H, 1, T]
 
     common = dict(scale=scale, causal=causal, window=window, bq=bq_, bk=bk_,
                   t_real=t, use_mask=use_mask)
 
-    # dK/dV over expanded q-heads, then sum over the GQA group
     dk_ex, dv_ex = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(b, hq, _blocks(t_pad, bk_)),
         in_specs=[
-            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, ki: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi // n_rep, 0)),
-            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi // n_rep, 0)),
-            pl.BlockSpec((1, t_pad), lambda bi, hi, ki: (bi, 0)),
-            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, ki: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0)),
-            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, bk_, d), lambda bi, hi, ki: (bi, hi // n_rep, ki, 0)),
+            pl.BlockSpec((1, 1, bk_, d), lambda bi, hi, ki: (bi, hi // n_rep, ki, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, t_pad), lambda bi, hi, ki: (bi, hi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi, 0)),
-            pl.BlockSpec((1, bk_, 1, d), lambda bi, hi, ki: (bi, ki, hi, 0)),
+            pl.BlockSpec((1, 1, bk_, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk_, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, t_pad, hq, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, hq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, t_pad, d), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, mask_arr, dop, lsep, delta)
 
-    dk = dk_ex.reshape(b, t_pad, hkv, n_rep, d).sum(axis=3)[:, :t].astype(k.dtype)
-    dv = dv_ex.reshape(b, t_pad, hkv, n_rep, d).sum(axis=3)[:, :t].astype(v.dtype)
+    dk = dk_ex.reshape(b, hkv, n_rep, t_pad, d).sum(axis=2)[:, :, :t].astype(k.dtype)
+    dv = dv_ex.reshape(b, hkv, n_rep, t_pad, d).sum(axis=2)[:, :, :t].astype(v.dtype)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(b, hq, _blocks(t_pad, bq_)),
         in_specs=[
-            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
-            pl.BlockSpec((1, t_pad, 1, d), lambda bi, hi, qi: (bi, 0, hi // n_rep, 0)),
-            pl.BlockSpec((1, t_pad), lambda bi, hi, qi: (bi, 0)),
-            pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
-            pl.BlockSpec((1, 1, bq_), lambda bi, hi, qi: (bi, hi, qi)),
+            pl.BlockSpec((1, 1, bq_, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi // n_rep, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, bq_, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq_), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, bq_), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ],
-        out_specs=pl.BlockSpec((1, bq_, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, hq, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, bq_, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hq, t_pad, d), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, mask_arr, dop, lsep, delta)[:, :t]
+    )(qp, kp, vp, mask_arr, dop, lsep, delta)[:, :, :t]
 
     return dq, dk, dv
 
 
-# ---------------------------------------------------------------------------- public
+# ------------------------------------------------------------------- public
 
 
 @functools.partial(
@@ -384,4 +386,6 @@ def flash_attention(
     del q_offset  # self-attention only (checked by flash_attention_supported)
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, kv_mask, scale, causal, window, bq, bk, interpret)
+    qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
+    out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
+    return out.swapaxes(1, 2)
