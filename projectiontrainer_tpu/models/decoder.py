@@ -217,7 +217,13 @@ def _norm(p, x, cfg: DecoderConfig):
 
 
 def _proj(lp, name, x, lora_layer, lora_cfg):
-    y = L.linear(lp[name], x)
+    p = lp[name]
+    if "qvalues" in p:  # int8 weight-only quantized base (ops/quant.py, QLoRA path)
+        from projectiontrainer_tpu.ops.quant import quantized_matmul
+
+        y = quantized_matmul(p, x)
+    else:
+        y = L.linear(p, x)
     if lora_layer is not None:
         from projectiontrainer_tpu.train import lora as lora_mod
 

@@ -1,0 +1,75 @@
+"""int8 weight-only quantization: accuracy, decoder wiring, LoRA-over-quantized-base."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.models import decoder as dec
+from projectiontrainer_tpu.ops import quant
+from projectiontrainer_tpu.train import lora as lora_mod
+
+
+def test_quantize_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 0.1
+    qp = quant.quantize(w)
+    wd = quant.dequantize(qp, dtype=jnp.float32)
+    rel = float(jnp.abs(wd - w).max() / jnp.abs(w).max())
+    assert rel < 0.01  # int8 per-channel: <1% relative error
+    assert qp["qvalues"].dtype == jnp.int8
+
+
+def test_quantized_matmul_close_to_dense():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32)) * 0.05
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    qp = quant.quantize_linear({"kernel": w, "bias": b})
+    dense = x @ w + b
+    qout = quant.quantized_matmul(qp, x)
+    rel = float(jnp.abs(qout - dense).max() / jnp.abs(dense).max())
+    assert rel < 0.02
+
+
+def test_quantized_decoder_forward_close():
+    cfg = dec.gemma3_config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=1, head_dim=16, sliding_window=8,
+        query_pre_attn_scalar=16,
+    )
+    params = dec.init(jax.random.key(0), cfg)
+    qparams = dict(params, **{"layers": quant.quantize_decoder(params)["layers"]})
+    ids = jnp.asarray(np.arange(12)[None, :])
+    h_dense, _ = dec.forward(params, cfg, input_ids=ids)
+    h_quant, _ = dec.forward(qparams, cfg, input_ids=ids)
+    rel = float(jnp.abs(h_dense - h_quant).max() / (jnp.abs(h_dense).max() + 1e-9))
+    assert rel < 0.05  # accumulated int8 error over 2 layers stays small
+
+    # memory layout check: projections stored as int8
+    assert qparams["layers"][0]["attn"]["q_proj"]["qvalues"].dtype == jnp.int8
+
+
+def test_lora_over_quantized_base():
+    """The QLoRA composition: int8 frozen base + trainable LoRA deltas."""
+    cfg = dec.gemma3_config(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=16, sliding_window=8,
+        query_pre_attn_scalar=16,
+    )
+    params = dec.init(jax.random.key(1), cfg)
+    qlayers = quant.quantize_decoder(params)["layers"]
+    qparams = dict(params, layers=qlayers)
+    lcfg = lora_mod.LoraConfig(r=2, alpha=4)
+    lora = lora_mod.init(jax.random.key(2), cfg, lcfg)
+    ids = jnp.asarray(np.arange(8)[None, :])
+
+    h0, _ = dec.forward(qparams, cfg, input_ids=ids, lora=lora, lora_cfg=lcfg)
+    # B=0 at init -> lora is a no-op
+    h_base, _ = dec.forward(qparams, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h_base), rtol=1e-6)
+
+    # nonzero B changes the output
+    lora["layers"][0]["q_proj"]["b"] = jnp.ones_like(lora["layers"][0]["q_proj"]["b"])
+    h1, _ = dec.forward(qparams, cfg, input_ids=ids, lora=lora, lora_cfg=lcfg)
+    assert not np.allclose(np.asarray(h1), np.asarray(h0))
