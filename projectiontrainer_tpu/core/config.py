@@ -113,6 +113,9 @@ class Stage0Config(CommonConfig):
     val_split: float = 0.05
     learning_rate: float = 1e-5
     warmup_ratio: float = 0.1
+    # True = per-data-shard pairwise negatives (reference DDP semantics, loss parity);
+    # False = global negatives across the whole mesh batch (quality improvement knob)
+    local_negatives: bool = True
 
 
 @dataclasses.dataclass

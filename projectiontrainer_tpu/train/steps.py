@@ -128,14 +128,18 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
 # ---------------------------------------------------------------------------- stage 0
 
 
-def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True):
+def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
+                local_negatives_shards: int = 1):
     """SigLIP sigmoid pairwise loss on the full dual tower (reference:
     Stage0/train_vision_encoder_stage0.py:661-689). batch: {'pixel_values', 'input_ids'}.
 
-    NOTE on DP semantics: the reference computes this loss per-rank over the LOCAL batch
-    (no cross-device negative exchange — plain DDP grad averaging). Under pjit the whole
-    array is global, so we shard_map the loss over the data axis to reproduce per-shard
-    pairwise logits exactly; for single-device runs this is the plain loss.
+    DP semantics: the reference computes this loss per-rank over the LOCAL batch (plain
+    DDP grad averaging, no cross-device negative exchange). Under pjit the batch is one
+    global array, so ``local_negatives_shards=N`` splits the global batch into N groups
+    and averages their pairwise losses — set it to the data-axis size to reproduce the
+    reference's per-rank negatives exactly (XLA keeps each group's [b/N, b/N] logits on
+    its own shard; no cross-shard matmul is generated). The default 1 gives GLOBAL
+    negatives — more informative gradients, a deliberate improvement knob.
     """
 
     def loss_fn(params, batch, rng):
@@ -143,7 +147,17 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True):
         img, txt, scale, bias = siglip.forward_contrastive(
             params, cfg, batch["pixel_values"], batch["input_ids"]
         )
-        loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0])
+        if local_negatives_shards > 1:
+            b = img.shape[0]
+            per = b // local_negatives_shards
+            img_s = img.reshape(local_negatives_shards, per, -1)
+            txt_s = txt.reshape(local_negatives_shards, per, -1)
+            shard_losses = jax.vmap(
+                lambda i, t: losses.siglip_pairwise_loss(i, t, scale[0], bias[0])
+            )(img_s, txt_s)
+            loss = shard_losses.mean()
+        else:
+            loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0])
         return loss, {}
 
     return loss_fn

@@ -63,7 +63,10 @@ class Stage0Trainer:
             warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
             accum_steps=cfg.gradient_accumulation_steps,
         )
-        loss_fn = steps.stage0_loss(model_cfg)
+        from projectiontrainer_tpu.core.mesh import DATA_AXIS
+
+        shards = self.mesh.shape[DATA_AXIS] if cfg.local_negatives else 1
+        loss_fn = steps.stage0_loss(model_cfg, local_negatives_shards=shards)
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
         )

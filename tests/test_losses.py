@@ -158,3 +158,31 @@ def test_stop_gradient_mask_freezes_in_step():
     state, _, _ = step(state, jnp.zeros((3,)), jax.random.key(0))
     assert not np.allclose(np.asarray(state["params"]["a"]), 1.0)
     np.testing.assert_array_equal(np.asarray(state["params"]["b"]), 1.0)
+
+
+def test_stage0_local_negatives_matches_per_shard_reference():
+    """local_negatives_shards=N == mean of per-shard reference losses (DDP semantics)."""
+    import jax
+
+    from projectiontrainer_tpu.models import siglip
+    from projectiontrainer_tpu.train import steps as S
+
+    cfg = siglip.SiglipConfig(
+        vision=siglip.VisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                                   num_heads=2, image_size=16, patch_size=8),
+        text=siglip.TextConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                               num_heads=2, vocab_size=31, max_position_embeddings=6),
+    )
+    params = siglip.init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 31, size=(8, 6))),
+    }
+    sharded, _ = S.stage0_loss(cfg, local_negatives_shards=4)(params, batch, None)
+    expected = []
+    for i in range(4):
+        sub = {k: v[i * 2:(i + 1) * 2] for k, v in batch.items()}
+        l, _ = S.stage0_loss(cfg)(params, sub, None)
+        expected.append(float(l))
+    np.testing.assert_allclose(float(sharded), np.mean(expected), rtol=1e-5)
