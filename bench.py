@@ -96,6 +96,9 @@ def main(argv=None):
 
     import jax
 
+    from projectiontrainer_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
     tiny = args.mode == "stage1-tiny" or jax.default_backend() == "cpu"
     batch = args.batch if not tiny else 4
 

@@ -39,6 +39,10 @@ class CommonConfig:
     wandb_run_name: Optional[str] = None
     disable_wandb: bool = False
     logging_steps: int = 100
+    # resume full state (params + optimizer + step) from the latest Orbax epoch
+    # checkpoint in output_dir — the capability the reference lacks (SURVEY §5.3:
+    # optimizer state saved but never reloaded)
+    resume: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

@@ -71,6 +71,21 @@ class Stage1Trainer:
             save_every_n_epochs=max(1, cfg.save_every_n_epochs), best_mode="min",
         )
         self.global_step = 0
+        self.start_epoch = 0
+        if cfg.resume:
+            self.resume_latest()
+
+    def resume_latest(self) -> int:
+        """Restore full state (params + optimizer + step) from the latest epoch
+        checkpoint — true resume, which the reference lacks (SURVEY §5.3)."""
+        latest = self.ckpt.latest_epoch()
+        if latest is None:
+            return 0
+        self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
+        self.start_epoch = latest + 1
+        self.global_step = int(self.state["step"])
+        self.logger.log({"resumed_from_epoch": latest}, step=self.global_step)
+        return self.start_epoch
 
     # ------------------------------------------------------------------ train
 
@@ -78,7 +93,8 @@ class Stage1Trainer:
         cfg = self.cfg
         accum = cfg.gradient_accumulation_steps
         best_val = None
-        for epoch in range(cfg.num_epochs):
+        epoch_loss = float("nan")
+        for epoch in range(self.start_epoch, cfg.num_epochs):
             epoch_losses = []
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
                 self.timer.start()

@@ -99,6 +99,20 @@ class Stage2Trainer:
 
         self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "orbax"), best_mode="min")
         self.global_step = 0
+        self.start_epoch = 0
+        if cfg.resume:
+            latest = self.ckpt.latest_epoch()
+            if latest is not None:
+                # checkpoints from epoch >= 1 were saved under the post-swap (VE-frozen)
+                # optimizer variant; restore into the matching template
+                ve_at_latest = cfg.train_ve_first_epoch and latest == 0
+                _, tx_latest, _ = self._steps[ve_at_latest]
+                if tx_latest is not self.tx:
+                    self.state = steps.init_state(self.state["params"], tx_latest)
+                    self.tx = tx_latest
+                self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
+                self.start_epoch = latest + 1
+                self.global_step = int(self.state["step"])
 
     def _batcher(self, side_q="right", side_a="right"):
         gbs = common.global_batch_size(self.cfg, self.mesh)
@@ -110,7 +124,7 @@ class Stage2Trainer:
     def train(self) -> dict:
         cfg = self.cfg
         epoch_loss = float("nan")
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(self.start_epoch, cfg.num_epochs):
             ve_flag = cfg.train_ve_first_epoch and epoch == 0
             step_fn, tx, _ = self._steps[ve_flag]
             if tx is not self.tx:

@@ -186,3 +186,46 @@ def test_cls_trainer_end_to_end(corpus, tmp_path):
     assert os.path.exists(tsv)
     rows = open(tsv).read().strip().splitlines()
     assert rows[0].startswith("Epoch") and len(rows) == 3
+
+
+def test_stage1_trainer_resume(corpus, tmp_path):
+    """True resume: params+optimizer+step restored; training continues at next epoch."""
+    from projectiontrainer_tpu.core.config import Stage1Config
+    from projectiontrainer_tpu.train.trainer_stage1 import Stage1Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    out = str(tmp_path / "resume")
+    mk_cfg = lambda epochs, resume: Stage1Config(
+        image_root=root, train_json=manifest, output_dir=out, img_size=32,
+        batch_size=2, num_epochs=epochs, learning_rate=1e-3,
+        gradient_accumulation_steps=1, max_caption_len=12, save_every_n_epochs=1,
+        num_workers=2, mesh_data=1, disable_wandb=True, resume=resume,
+    )
+    vcfg = T.tiny_vlm_cfg()
+    params = vlm.init(jax.random.key(9), vcfg)
+    ds = datasets.Stage1PairDataset(
+        datasets.load_manifest(manifest), image_root=root, tokenizer=tok,
+        image_size=32, max_length=12,
+    )
+    mesh = build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+
+    t1 = Stage1Trainer(mk_cfg(1, False), vlm_cfg=vcfg, params=params, tokenizer=tok,
+                       train_dataset=ds, mesh=mesh)
+    t1.train()
+    step_after_1 = t1.global_step
+    assert step_after_1 > 0
+
+    # fresh process restart: params rebuilt from init, then restored from disk
+    params2 = vlm.init(jax.random.key(123), vcfg)
+    t2 = Stage1Trainer(mk_cfg(2, True), vlm_cfg=vcfg, params=params2, tokenizer=tok,
+                       train_dataset=ds, mesh=mesh)
+    assert t2.start_epoch == 1
+    assert t2.global_step == step_after_1
+    # restored params equal the trained ones, not the fresh init
+    np.testing.assert_allclose(
+        np.asarray(t2.state["params"]["projector"]["fc1"]["kernel"]),
+        np.asarray(t1.state["params"]["projector"]["fc1"]["kernel"]),
+    )
+    t2.train()
+    assert t2.global_step > step_after_1
