@@ -232,6 +232,48 @@ class ClassificationDataset:
         raise RuntimeError("no valid samples in dataset")
 
 
+class MultiLabelClassificationDataset:
+    """Multi-hot targets for the two-way-loss trainer: ``normal_caption`` may contain
+    comma-separated labels; each recognized label sets its class bit (reference:
+    cls_evaluate/train_twoway_loss.py:41-112 — unrecognized labels leave zeros)."""
+
+    def __init__(self, samples, image_root, class_names, image_size, *, image_root_2=None):
+        self.samples = list(samples)
+        self.image_root = image_root
+        self.image_root_2 = image_root_2
+        self.class_names = list(class_names)
+        self.image_size = image_size
+        self._class_to_idx = {c: i for i, c in enumerate(self.class_names)}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def multi_hot(self, caption: str) -> np.ndarray:
+        vec = np.zeros((len(self.class_names),), np.float32)
+        for label in str(caption).split(","):
+            idx = self._class_to_idx.get(label.strip())
+            if idx is not None:
+                vec[idx] = 1.0
+        return vec
+
+    def __getitem__(self, idx) -> dict:
+        for attempt in range(len(self.samples)):
+            sample = self.samples[(idx + attempt) % len(self.samples)]
+            if not sample.get("image"):
+                continue
+            try:
+                pixels = I.load_and_preprocess(
+                    sample["image"], self.image_size, self.image_root, self.image_root_2
+                )
+            except (FileNotFoundError, OSError):
+                continue
+            return {
+                "pixel_values": pixels,
+                "targets": self.multi_hot(sample.get("normal_caption", "")),
+            }
+        raise RuntimeError("no valid samples in dataset")
+
+
 def stratified_split(samples, *, val_ratio: float = 0.1, seed: int = 42,
                      label_key: str = "normal_caption"):
     """Per-class proportional split (reference: cls_evaluate/train_utils.py:180-190)."""

