@@ -104,15 +104,16 @@ def main(argv=None):
 
     step, state, batch_data = _build_stage1(batch, tiny)
 
-    # warmup (includes compile)
+    # warmup (includes compile); float() forces a device->host readback — the only
+    # reliable sync on the tunneled axon runtime (block_until_ready returns early)
     for i in range(args.warmup):
         state, loss, _ = step(state, batch_data, jax.random.key(i))
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, loss, _ = step(state, batch_data, jax.random.key(100 + i))
-    jax.block_until_ready(loss)
+        float(loss)  # per-step host sync (trainers read the loss every step anyway)
     elapsed = time.perf_counter() - t0
 
     n_chips = jax.device_count()

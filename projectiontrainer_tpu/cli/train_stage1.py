@@ -22,6 +22,7 @@ def main(argv=None):
     vlm_cfg, params, _ = setup.build_vlm(
         cfg.vision_model_name, cfg.llm_name,
         expansion_factor=cfg.expansion_factor, seed=cfg.seed,
+        quantize_llm=cfg.enable_qlora,
     )
     tokenizer = setup.load_tokenizer(cfg.llm_name)
 

@@ -24,6 +24,7 @@ def main(argv=None):
     vlm_cfg, params, _ = setup.build_vlm(
         cfg.vision_model_name, cfg.llm_name,
         stage1_projector_path=cfg.stage1_projector_path or None, seed=cfg.seed,
+        quantize_llm=cfg.enable_qlora,
     )
     tokenizer = setup.load_tokenizer(cfg.llm_name)
 

@@ -51,6 +51,12 @@ def build_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+    if config.data > 0 and config.model > 0:
+        # fully-specified mesh may use a prefix of the available devices
+        needed = config.data * config.model
+        if needed > len(devices):
+            raise ValueError(f"mesh needs {needed} devices, have {len(devices)}")
+        devices = devices[:needed]
     data, model = config.resolve(len(devices))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))

@@ -18,11 +18,30 @@ bucketing, shuffling, host sharding, and device prefetch.
 from __future__ import annotations
 
 import json
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
 
 from projectiontrainer_tpu.data import image as I
+
+
+class LockedTokenizer:
+    """Thread-safe wrapper around an HF fast tokenizer: the underlying Rust object is
+    not re-entrant ("Already borrowed" under concurrent encode), and datasets run on
+    the pipeline's thread pool. Tokenization is cheap next to image decode, so a lock
+    (not per-thread copies) is the right trade."""
+
+    def __init__(self, tokenizer):
+        self._tok = tokenizer
+        self._lock = threading.Lock()
+
+    def __call__(self, *args, **kwargs):
+        with self._lock:
+            return self._tok(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._tok, name)
 
 
 def load_manifest(json_file: str) -> list[dict]:
@@ -48,7 +67,7 @@ class Stage1PairDataset:
         self.samples = list(samples)
         self.image_root = image_root
         self.image_root_2 = image_root_2
-        self.tokenizer = tokenizer
+        self.tokenizer = LockedTokenizer(tokenizer)
         self.image_size = image_size
         self.max_length = max_length
 
@@ -84,7 +103,7 @@ class Stage2VQADataset:
         self.samples = list(samples)
         self.image_root = image_root
         self.image_root_2 = image_root_2
-        self.tokenizer = tokenizer
+        self.tokenizer = LockedTokenizer(tokenizer)
         self.image_size = image_size
         self.max_q_len = max_q_len
         self.max_a_len = max_a_len
@@ -135,7 +154,7 @@ class ContrastiveDataset:
         self.samples = samples
         self.image_root = image_root
         self.image_root_2 = image_root_2
-        self.tokenizer = tokenizer
+        self.tokenizer = LockedTokenizer(tokenizer)
         self.image_size = image_size
         self.max_text_len = max_text_len
         self.augment = augment

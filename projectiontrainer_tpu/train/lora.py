@@ -83,7 +83,13 @@ def merge_into_decoder(dec_params, lora_params, cfg: LoraConfig):
     for i, layer in enumerate(lora_params["layers"]):
         for t, p in layer.items():
             dst = merged["layers"][i]["attn"] if t in attn_targets else merged["layers"][i]["mlp"]
-            w = dst[t]["kernel"]
+            tp = dst[t]
+            if "qvalues" in tp:  # int8 quantized base: dequantize to dense bf16 first
+                from projectiontrainer_tpu.ops.quant import dequantize
+
+                w = dequantize(tp, dtype=jnp.bfloat16)
+                tp = {"kernel": w, **({"bias": tp["bias"]} if "bias" in tp else {})}
+            w = tp["kernel"]
             delta = (p["a"].astype(jnp.float32) @ p["b"].astype(jnp.float32)) * cfg.scaling
-            dst[t] = dict(dst[t], kernel=(w.astype(jnp.float32) + delta).astype(w.dtype))
+            dst[t] = dict(tp, kernel=(w.astype(jnp.float32) + delta).astype(w.dtype))
     return merged

@@ -37,10 +37,14 @@ def build_vlm(
     seed: int = 0,
     param_dtype=jnp.float32,
     frozen_dtype=jnp.bfloat16,
+    quantize_llm: bool = False,
 ):
     """Assemble (VLMConfig, params) from local snapshots. ``frozen_dtype`` stores the
     pretrained towers in bf16 (half the HBM; they are frozen in Stage 1 and under LoRA)
-    while trainable-by-default parts stay in ``param_dtype``."""
+    while trainable-by-default parts stay in ``param_dtype``. ``quantize_llm`` applies
+    int8 weight-only quantization to the decoder projections — the ``--enable_qlora``
+    base-weight path (reference loads NF4 4-bit; int8 is the TPU equivalent,
+    SURVEY §7.3.5)."""
     for path in (vision_model_name, llm_name):
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -64,9 +68,14 @@ def build_vlm(
     cast = lambda tree, dt: jax.tree.map(
         lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
     )
+    llm_tree = cast(llm_params, frozen_dtype)
+    if quantize_llm:
+        from projectiontrainer_tpu.ops.quant import quantize_decoder
+
+        llm_tree = quantize_decoder(llm_tree)
     params = {
         "vision": cast(siglip_params["vision"], frozen_dtype),
         "projector": cast(proj_params, param_dtype),
-        "llm": cast(llm_params, frozen_dtype),
+        "llm": llm_tree,
     }
     return cfg, params, siglip_cfg

@@ -37,17 +37,34 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
     """
 
     def step(state, batch, rng):
-        def masked_loss(params, batch, rng):
-            if trainable_mask is not None:
-                params = jax.tree.map(
-                    lambda p, m: p if m else jax.lax.stop_gradient(p),
-                    params, trainable_mask,
-                )
-            return loss_fn(params, batch, rng)
+        params = state["params"]
+        if trainable_mask is None:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+        else:
+            # Differentiate ONLY the trainable leaves: frozen leaves enter as
+            # stop_gradient constants (XLA prunes their dW matmuls) and may be
+            # non-differentiable dtypes (int8 quantized bases).
+            flat, treedef = jax.tree_util.tree_flatten(params)
+            mask_flat = jax.tree_util.tree_flatten(trainable_mask)[0]
+            diff = [x for x, m in zip(flat, mask_flat) if m]
 
-        (loss, aux), grads = jax.value_and_grad(masked_loss, has_aux=True)(
-            state["params"], batch, rng
-        )
+            def loss_of(diff_leaves):
+                it = iter(diff_leaves)
+                merged = [
+                    next(it) if m else jax.lax.stop_gradient(x)
+                    for x, m in zip(flat, mask_flat)
+                ]
+                return loss_fn(jax.tree_util.tree_unflatten(treedef, merged), batch, rng)
+
+            (loss, aux), gdiff = jax.value_and_grad(loss_of, has_aux=True)(diff)
+            git = iter(gdiff)
+            grads_flat = [
+                next(git) if m else jnp.zeros_like(x) for x, m in zip(flat, mask_flat)
+            ]
+            grads = jax.tree_util.tree_unflatten(treedef, grads_flat)
+
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         return (
