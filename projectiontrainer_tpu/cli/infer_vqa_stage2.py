@@ -25,9 +25,15 @@ from projectiontrainer_tpu.utils.logging import setup_logging
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input_json", type=str, required=True)
+    p.add_argument("--input_json", type=str, default=None,
+                   help="Batch mode: JSON of {image, problem} samples")
+    p.add_argument("--image_path", type=str, default=None,
+                   help="Single-image mode (reference run_inference, "
+                        "Stage2/inference_vqa_stage2.py:25-209)")
+    p.add_argument("--question", type=str, default=None,
+                   help="Question for single-image mode")
     p.add_argument("--output_json", type=str, default="vqa_predictions.json")
-    p.add_argument("--image_root", type=str, required=True)
+    p.add_argument("--image_root", type=str, default=None)
     p.add_argument("--image_root_2", type=str, default=None)
     p.add_argument("--vision_model_name", type=str, required=True)
     p.add_argument("--llm_name", type=str, required=True)
@@ -112,7 +118,14 @@ def main(argv=None):
         pad_token_id=tokenizer.pad_token_id or 0,
     )
 
-    samples = datasets.load_manifest(args.input_json)
+    if args.image_path:
+        # single-image mode: treat the CLI args as a one-sample manifest
+        samples = [{"image": os.path.basename(args.image_path),
+                    "problem": args.question or "Describe the findings."}]
+        args.image_root = os.path.dirname(os.path.abspath(args.image_path))
+    else:
+        assert args.input_json, "--input_json or --image_path required"
+        samples = datasets.load_manifest(args.input_json)
     results, latencies = [], []
     for i in range(0, len(samples), args.batch_size):
         chunk = samples[i:i + args.batch_size]

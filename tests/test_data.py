@@ -278,3 +278,30 @@ def test_epoch_batches_end_to_end():
     all_x = np.concatenate([np.asarray(b["x"])[:, 0] for b in batches[:2]])
     assert set(all_x.tolist()) <= set(range(10))
     assert batches[0]["x"].shape == (4, 2)
+
+
+def test_bucketing_bounds_compilation_count():
+    """The point of static buckets: at most |Q|x|A| distinct shapes reach jit
+    (SURVEY §7.3.4 — dynamic padding would compile once per unique length pair)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fake_step(q, a):
+        return q.sum() + a.sum()
+
+    rng = np.random.default_rng(0)
+    b = bucketing.BucketBatcher(batch_size=2, pad_id=0, q_buckets=(8, 16), a_buckets=(8, 16))
+
+    def sample():
+        ql = int(rng.integers(1, 17))
+        al = int(rng.integers(1, 17))
+        return {
+            "pixel_values": np.zeros((2, 2, 3), np.float32),
+            "question_ids": np.ones(ql, np.int32),
+            "answer_ids": np.ones(al, np.int32),
+        }
+
+    for batch in b.batches([sample() for _ in range(60)]):
+        fake_step(jnp.asarray(batch["question_ids"]), jnp.asarray(batch["answer_ids"]))
+    assert fake_step._cache_size() <= 4  # 2 q-buckets x 2 a-buckets
