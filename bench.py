@@ -242,7 +242,8 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--remat", type=str, default="full",
+                        choices=["full", "dots", "none"])
     args = parser.parse_args(argv)
 
     import jax
@@ -263,7 +264,8 @@ def main(argv=None):
     tiny = args.mode == "stage1-tiny" or jax.default_backend() == "cpu"
     batch = args.batch if not tiny else 4
 
-    step, state, batch_data = _build_stage1(batch, tiny, remat=args.remat)
+    remat = {"full": True, "dots": "dots", "none": False}[args.remat]
+    step, state, batch_data = _build_stage1(batch, tiny, remat=remat)
 
     # warmup (includes compile); float() forces a device->host readback — the only
     # reliable sync on the tunneled axon runtime (block_until_ready returns early)

@@ -91,24 +91,25 @@ def evaluate_all_checkpoints(exp_dir: str, test_dataset, *, batch_size: int = 32
     from projectiontrainer_tpu.models import classifier as cls_model
     from projectiontrainer_tpu.train.trainer_cls import ClsTrainer
 
+    from projectiontrainer_tpu.models import siglip
+
     orbax_dir = os.path.join(exp_dir, "orbax")
     mgr = CheckpointManager(orbax_dir)
     results = []
     for name in sorted(os.listdir(orbax_dir)):
-        if not name.startswith("epoch_"):
+        if not name.startswith("epoch_") or not os.path.isdir(os.path.join(orbax_dir, name)):
             continue
         meta_path = os.path.join(orbax_dir, f"{name}_metadata.json")
         with open(meta_path) as f:
             meta = json.load(f)
         cfg = ClsConfig(**json.loads(meta["config"]))
         names = cfg.effective_class_names()
-        # rebuild an abstract state to restore into
-        from projectiontrainer_tpu import testing as T
-
+        # model reconstructed from the architecture embedded in the checkpoint metadata
+        mc = meta["model_config"]
         model_cfg = cls_model.ClassifierConfig(
-            vision=test_dataset.vision_cfg if hasattr(test_dataset, "vision_cfg")
-            else T.tiny_vision_cfg(),
-            num_classes=len(names), dropout_rate=cfg.dropout_rate,
+            vision=siglip.VisionConfig(**mc["vision"]),
+            num_classes=mc["num_classes"], num_heads=mc["num_heads"],
+            dropout_rate=mc["dropout_rate"],
         )
         trainer = ClsTrainer(
             cfg, model_cfg=model_cfg,

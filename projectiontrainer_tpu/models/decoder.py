@@ -338,7 +338,14 @@ def forward(
         lora_layer = lora["layers"][i] if lora is not None else None
         fn = layer_fn
         if remat and layer_cache is None:
-            fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+            # remat=True -> full per-layer rematerialization (min memory);
+            # remat='dots' -> save matmul outputs, recompute elementwise only
+            # (near-no-remat speed at a fraction of the activation memory)
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if remat == "dots" else None
+            )
+            fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
         x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache, lora_layer)
         if new_caches is not None:
             new_caches.append(nc)

@@ -211,7 +211,11 @@ def vision_forward(params, cfg: VisionConfig, pixel_values, *, remat: bool = Fal
     x = x + params["position_embedding"]["embedding"][None].astype(x.dtype)
     layer = _encoder_layer
     if remat:
-        layer = jax.checkpoint(_encoder_layer, static_argnums=(1,))
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat == "dots" else None
+        )
+        layer = jax.checkpoint(_encoder_layer, static_argnums=(1,), policy=policy)
     for lp in params["layers"]:
         x = layer(lp, cfg, x)
     x = L.layernorm(params["post_layernorm"], x, eps=cfg.layer_norm_eps)

@@ -79,6 +79,19 @@ class ClsTrainer:
             with open(self.results_tsv, "w") as f:
                 f.write("Epoch\tTrain Loss\tVal Loss\tVal Acc\tVal AUC\n")
 
+    def _model_config_dict(self) -> dict:
+        """Model architecture embedded in checkpoint metadata so downstream evaluators
+        can reconstruct the model without the original script args (the reference
+        stores vars(args) inside .pth for this — cls_evaluate/train_utils.py:363)."""
+        import dataclasses
+
+        return {
+            "vision": dataclasses.asdict(self.model_cfg.vision),
+            "num_classes": self.model_cfg.num_classes,
+            "num_heads": self.model_cfg.num_heads,
+            "dropout_rate": self.model_cfg.dropout_rate,
+        }
+
     def _epoch_frozen(self, epoch: int) -> bool:
         if self.cfg.freeze_mode == "Freeze":
             return True
@@ -109,12 +122,14 @@ class ClsTrainer:
             train_loss = float(np.mean(losses)) if losses else float("nan")
 
             val_loss, val_acc, val_auc = float("nan"), float("nan"), float("nan")
+            meta = {"epoch": epoch, "config": cfg.to_json(),
+                    "model_config": self._model_config_dict()}
             if self.val_dataset is not None and len(self.val_dataset):
                 val_loss, val_acc, val_auc = self.evaluate()
                 if self.ckpt.save_best(val_auc if np.isfinite(val_auc) else val_acc,
-                                       self.state, {"epoch": epoch, "config": cfg.to_json()}):
+                                       self.state, meta):
                     best = (epoch, val_acc, val_auc)
-            self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch, "config": cfg.to_json()})
+            self.ckpt.save_periodic(epoch, self.state, meta)
 
             self.logger.log(
                 {"train/epoch_loss": train_loss, "val/loss": val_loss,
