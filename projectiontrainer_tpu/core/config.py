@@ -86,9 +86,14 @@ class Stage2Config(CommonConfig):
     batch_size: int = 1
     warmup_ratio: float = 0.05
     gradient_accumulation_steps: int = 8
-    # generation eval (reference trainer defaults / run_vqa_train_stage2.sh)
+    # generation eval — the reference's in-training eval generates with beam-multinomial
+    # sampling (do_sample=True, num_beams=3, top_p=0.9, top_k=50, max_new=512 —
+    # Stage2/trainer.py:604-614); max_new defaults lower here for eval-time budget
     eval_max_new_tokens: int = 128
     eval_num_beams: int = 3
+    eval_do_sample: bool = True
+    eval_top_p: float = 0.9
+    eval_top_k: int = 50
 
     def freeze_policy(self):
         """Derived policy (reference: Stage2/train_vqa_stage2.py:121-134)."""

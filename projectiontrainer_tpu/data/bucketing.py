@@ -39,9 +39,9 @@ def pad_to(ids: np.ndarray, size: int, pad_id: int, *, side: str = "right") -> n
 class BucketBatcher:
     """Groups Stage-2 samples into (q_bucket, a_bucket) bins and emits full static-shape
     batches; ``flush`` drains stragglers by repeating samples to fill the batch (constant
-    shapes beat dropped data — repeated samples are weighted identically to the
-    reference's smaller final DDP batch only approximately; exact tail handling can use
-    per-sample weights later)."""
+    shapes beat dropped data). Every batch carries ``sample_weight`` [B] float32 — 1.0
+    for real samples, 0.0 for fillers — which the weighted losses and eval metrics use
+    to reproduce the reference's smaller-final-DDP-batch semantics exactly."""
 
     batch_size: int
     pad_id: int
@@ -53,8 +53,10 @@ class BucketBatcher:
     def __post_init__(self):
         self._bins: dict[tuple[int, int], list[dict]] = {}
 
-    def _emit(self, key: tuple[int, int], samples: list[dict]) -> dict:
+    def _emit(self, key: tuple[int, int], samples: list[dict], n_real: int) -> dict:
         qb, ab = key
+        weight = np.zeros((len(samples),), np.float32)
+        weight[:n_real] = 1.0
         return {
             "pixel_values": np.stack([s["pixel_values"] for s in samples]),
             "question_ids": np.stack(
@@ -63,6 +65,7 @@ class BucketBatcher:
             "answer_ids": np.stack(
                 [pad_to(s["answer_ids"], ab, self.pad_id, side=self.a_side) for s in samples]
             ),
+            "sample_weight": weight,
         }
 
     def add(self, sample: dict) -> Optional[dict]:
@@ -74,7 +77,7 @@ class BucketBatcher:
         bin_.append(sample)
         if len(bin_) == self.batch_size:
             del self._bins[key]
-            return self._emit(key, bin_)
+            return self._emit(key, bin_, n_real=self.batch_size)
         return None
 
     def flush(self) -> Iterator[dict]:
@@ -86,7 +89,7 @@ class BucketBatcher:
             while len(bin_) < self.batch_size:
                 bin_.append(bin_[i % orig])
                 i += 1
-            yield self._emit(key, bin_[: self.batch_size])
+            yield self._emit(key, bin_[: self.batch_size], n_real=min(orig, self.batch_size))
         self._bins.clear()
 
     def batches(self, samples: Iterable[dict], *, drain: bool = True) -> Iterator[dict]:
@@ -100,18 +103,27 @@ class BucketBatcher:
 
 def fixed_batcher(samples: Iterable[dict], batch_size: int, *, drop_remainder: bool = False,
                   repeat_to_fill: bool = True) -> Iterator[dict]:
-    """Simple static batcher for fixed-shape samples (Stage 0/1, classification)."""
+    """Simple static batcher for fixed-shape samples (Stage 0/1, classification).
+    Emits ``sample_weight`` [B] (1.0 real / 0.0 repeated filler) like BucketBatcher."""
+
+    def emit(buf: list[dict], n_real: int) -> dict:
+        out = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+        weight = np.zeros((len(buf),), np.float32)
+        weight[:n_real] = 1.0
+        out["sample_weight"] = weight
+        return out
+
     buf: list[dict] = []
     for s in samples:
         buf.append(s)
         if len(buf) == batch_size:
-            yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+            yield emit(buf, batch_size)
             buf = []
     if buf and not drop_remainder:
+        orig = len(buf)
         if repeat_to_fill:
-            orig = len(buf)
             i = 0
             while len(buf) < batch_size:
                 buf.append(buf[i % orig])
                 i += 1
-        yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+        yield emit(buf, orig)

@@ -12,7 +12,9 @@ TPU-first design:
 - the prefix is *embeddings* (there may be no prompt ids at all), with left-padded masks
   so the last prefix slot is always the last valid token;
 - samplers: greedy, temperature/top-k/top-p sampling with repetition penalty (HF
-  semantics), and beam search with HF length-penalty finalization.
+  semantics), and beam search — deterministic or beam-multinomial (``do_sample`` with
+  ``num_beams>1``, the reference's default eval/inference config) — with the processors
+  and warpers applied inside the beam loop and HF live/finished-hypothesis semantics.
 """
 
 from __future__ import annotations
@@ -58,6 +60,7 @@ def _apply_repetition_penalty(logits, generated, penalty):
 
 
 def _top_k_filter(logits, k):
+    k = min(k, logits.shape[-1])  # HF TopKLogitsWarper clamps k to the vocab size
     vals, _ = jax.lax.top_k(logits, k)
     cutoff = vals[..., -1:]
     return jnp.where(logits < cutoff, NEG_INF, logits)
@@ -154,12 +157,64 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
 # ---------------------------------------------------------------------------- beam search
 
 
-def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
-    """Standard beam search (deterministic), HF-style length-penalty finalization."""
-    del key
+def _reorder_cache(cache, flat_src, prefix_len: int, gen_len: int, *, naive: bool = False):
+    """Reorder the KV cache to follow beam selection.
+
+    The prefix region [0, prefix_len) is identical across the beams of a batch (the
+    prefill ran on a beam-repeated prefix, and beam selection never crosses batches), so
+    only the generated region [prefix_len, prefix_len+gen_len) needs gathering — at the
+    reference inference shape (575+256 prefix, 1024 new tokens, 3 beams) this cuts the
+    per-step reorder HBM traffic roughly in half vs gathering the whole cache. A ``cond``
+    additionally skips the gather on steps where every beam continues its own row (the
+    common case once beams stabilize). ``naive=True`` keeps the full-cache gather for
+    parity testing.
+    """
+    if naive:
+        return jax.tree.map(lambda c: jnp.take(c, flat_src, axis=0), cache)
+
+    def gather(c):
+        def leaf(x):
+            gen = jax.lax.dynamic_slice_in_dim(x, prefix_len, gen_len, axis=1)
+            gen = jnp.take(gen, flat_src, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(x, gen, prefix_len, axis=1)
+
+        return jax.tree.map(leaf, c)
+
+    identity = jnp.all(flat_src == jnp.arange(flat_src.shape[0]))
+    return jax.lax.cond(identity, lambda c: c, gather, cache)
+
+
+def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
+                   *, naive_reorder: bool = False):
+    """Beam search with the full HF decoding surface inside the loop.
+
+    Matches HF ``GenerationMixin._beam_search`` semantics (the reference's default eval
+    and inference config passes ``do_sample=True, num_beams=3`` together with
+    temperature/top-k/top-p/repetition_penalty — Stage2/trainer.py:604-614,
+    Stage2/inference_vqa_stage2.py:428-437):
+
+    - scores are log-softmax'd logits; the repetition penalty (a logits *processor*)
+      applies to them against each beam's own generated ids (the prompt is an embedding
+      prefix, so — exactly like HF generate from ``inputs_embeds`` with no prompt ids —
+      only generated tokens are penalized);
+    - when ``do_sample``, the *warpers* (temperature → top-k → top-p) apply next, and the
+      2·nb successor candidates are drawn WITHOUT replacement from
+      softmax(beam_score + warped_scores) over the flattened nb·V candidates via the
+      Gumbel-top-k trick (the jit-friendly equivalent of ``torch.multinomial``), then
+      sorted by true score like HF; deterministic beam search takes top-k instead;
+    - EOS candidates ranked within the top nb move to a per-batch finished set of nb
+      hypotheses scored ``sum_logprob / len^length_penalty`` with ``len`` EXCLUDING the
+      EOS token (HF ``BeamHypotheses.add`` semantics); live beams continue from the best
+      non-EOS candidates;
+    - finalization inserts the surviving live beams (penalized at ``max_new_tokens``)
+      and returns each batch's best hypothesis — HF ``BeamSearchScorer.finalize``.
+    """
     b, p, d = inputs_embeds.shape
     nb = cfg.num_beams
-    total = p + cfg.max_new_tokens
+    max_new = cfg.max_new_tokens
+    total = p + max_new
+    vocab = llm_cfg.vocab_size
+    k2 = 2 * nb
 
     # expand prefix to beams: [B*nb, ...]
     def expand(x):
@@ -169,41 +224,77 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
         params, llm_cfg, expand(inputs_embeds), expand(attention_mask), total
     )
 
-    beam_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b,))  # [B*nb]
-    generated0 = jnp.full((b * nb, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
-    done0 = jnp.zeros((b * nb,), bool)
-    lengths0 = jnp.zeros((b * nb,), jnp.int32)
-
-    vocab = llm_cfg.vocab_size
+    # after prefill every beam of a batch is identical: only beam 0 may win step 0
+    live_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b, 1))
+    live_gen0 = jnp.full((b, nb, max_new), -1, jnp.int32)   # -1 sentinel = unwritten
+    fin_scores0 = jnp.full((b, nb), NEG_INF, jnp.float32)
+    fin_gen0 = jnp.full((b, nb, max_new), -1, jnp.int32)
 
     def body(carry, t):
-        cache, logits, scores, generated, done, lengths, full_mask = carry
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*nb, V]
-        # done beams: only pad continues, with score unchanged
-        pad_only = jnp.full((vocab,), NEG_INF).at[cfg.pad_token_id].set(0.0)
-        logp = jnp.where(done[:, None], pad_only[None, :], logp)
-        cand = scores[:, None] + logp  # [B*nb, V]
-        cand = cand.reshape(b, nb * vocab)
-        top_scores, top_idx = jax.lax.top_k(cand, nb)  # [B, nb]
-        beam_idx = top_idx // vocab          # which source beam
-        token = (top_idx % vocab).astype(jnp.int32)
+        cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key = carry
+        key, sub = jax.random.split(key)
 
-        flat_src = (jnp.arange(b)[:, None] * nb + beam_idx).reshape(-1)  # [B*nb]
-        token = token.reshape(-1)
-        scores = top_scores.reshape(-1)
+        scores = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*nb, V]
+        scores = _apply_repetition_penalty(
+            scores, live_gen.reshape(b * nb, max_new), cfg.repetition_penalty
+        )
+        if cfg.do_sample:
+            if cfg.temperature != 1.0:
+                scores = scores / cfg.temperature
+            if cfg.top_k:
+                scores = _top_k_filter(scores, cfg.top_k)
+            if cfg.top_p is not None and cfg.top_p < 1.0:
+                scores = _top_p_filter(scores, cfg.top_p)
+        cand = (scores + live_scores.reshape(-1)[:, None]).reshape(b, nb * vocab)
 
-        # reorder beam state
-        generated = generated[flat_src]
-        done = done[flat_src]
-        lengths = lengths[flat_src]
-        cache = jax.tree.map(lambda c: c[flat_src], cache)
-        full_mask = full_mask[flat_src]
+        if cfg.do_sample:
+            # sample k2 candidates without replacement ∝ softmax(cand), sort by score
+            gumbel = jax.random.gumbel(sub, cand.shape)
+            _, top_idx = jax.lax.top_k(cand + gumbel, k2)
+            top_scores = jnp.take_along_axis(cand, top_idx, axis=-1)
+            order = jnp.argsort(-top_scores, axis=-1)
+            top_scores = jnp.take_along_axis(top_scores, order, axis=-1)
+            top_idx = jnp.take_along_axis(top_idx, order, axis=-1)
+        else:
+            top_scores, top_idx = jax.lax.top_k(cand, k2)    # [B, 2nb]
+        src = top_idx // vocab
+        tok = (top_idx % vocab).astype(jnp.int32)
+        if cfg.eos_token_id is not None:
+            is_eos = tok == cfg.eos_token_id
+        else:
+            is_eos = jnp.zeros(tok.shape, bool)
 
-        generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
-        newly_done = (token == cfg.eos_token_id) if cfg.eos_token_id is not None else jnp.zeros_like(done)
-        lengths = jnp.where(done, lengths, t + 1)
-        done = done | newly_done
+        # -------- finished set: EOS candidates ranked within the top nb are stored with
+        # score / len^lp, len excluding the EOS (HF BeamHypotheses.add)
+        gen_len = jnp.maximum(t, 1).astype(jnp.float32)
+        ins_mask = is_eos & (jnp.arange(k2) < nb)[None, :]
+        if cfg.length_penalty > 0:
+            # HF divides by 0**lp = 0 when the first generated token is EOS → -inf score
+            ins_mask = ins_mask & (t > 0)
+        ins_scores = jnp.where(
+            ins_mask, top_scores / jnp.power(gen_len, cfg.length_penalty), NEG_INF
+        )
+        cand_gen = jnp.take_along_axis(live_gen, src[..., None], axis=1)  # [B, 2nb, L]
+        cand_gen = jax.lax.dynamic_update_slice(cand_gen, tok[..., None], (0, 0, t))
+        all_scores = jnp.concatenate([fin_scores, ins_scores], axis=1)
+        all_gen = jnp.concatenate([fin_gen, cand_gen], axis=1)
+        fin_scores, fidx = jax.lax.top_k(all_scores, nb)
+        fin_gen = jnp.take_along_axis(all_gen, fidx[..., None], axis=1)
 
+        # -------- live continuation: best nb non-EOS candidates
+        live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        live_scores, lidx = jax.lax.top_k(live_cand, nb)     # [B, nb]
+        live_src = jnp.take_along_axis(src, lidx, axis=-1)
+        live_tok = jnp.take_along_axis(tok, lidx, axis=-1)
+        live_gen = jnp.take_along_axis(live_gen, live_src[..., None], axis=1)
+        live_gen = jax.lax.dynamic_update_slice(live_gen, live_tok[..., None], (0, 0, t))
+
+        flat_src = (jnp.arange(b)[:, None] * nb + live_src).reshape(-1)  # [B*nb]
+        cache = _reorder_cache(cache, flat_src, p, max_new, naive=naive_reorder)
+        # full_mask and last_pos are beam-invariant (prefix padding is per-sample, the
+        # generated region is all-ones) — no reorder needed.
+
+        token = live_tok.reshape(-1)
         emb = dec.embed(params, llm_cfg, token[:, None]).astype(inputs_embeds.dtype)
         full_mask = jax.lax.dynamic_update_slice(
             full_mask, jnp.ones((b * nb, 1), jnp.int32), (0, p + t)
@@ -214,20 +305,20 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
             positions=positions, cache=cache, q_offset=p + t,
         )
         logits = dec.logits(params, llm_cfg, hidden[:, -1:, :])[:, 0]
-        return (cache, logits, scores, generated, done, lengths, full_mask), None
+        return (cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key), None
 
-    carry = (cache, logits, beam_scores, generated0, done0, lengths0, full_mask)
-    (cache, logits, scores, generated, done, lengths, full_mask), _ = jax.lax.scan(
-        body, carry, jnp.arange(cfg.max_new_tokens)
+    carry = (cache, logits, live_scores0, live_gen0, fin_scores0, fin_gen0, full_mask, key)
+    (cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key), _ = (
+        jax.lax.scan(body, carry, jnp.arange(max_new))
     )
 
-    # finalize: score / length^length_penalty, pick best beam per batch
-    lengths = jnp.where(done, lengths, cfg.max_new_tokens)
-    final = scores / jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32), cfg.length_penalty)
-    final = final.reshape(b, nb)
-    best = jnp.argmax(final, axis=-1)
-    generated = generated.reshape(b, nb, -1)
-    return jnp.take_along_axis(generated, best[:, None, None], axis=1)[:, 0]
+    # finalize: surviving live beams enter the finished set penalized at max_new tokens
+    live_final = live_scores / jnp.power(jnp.asarray(max_new, jnp.float32), cfg.length_penalty)
+    all_scores = jnp.concatenate([fin_scores, live_final], axis=1)
+    all_gen = jnp.concatenate([fin_gen, live_gen], axis=1)
+    best = jnp.argmax(all_scores, axis=-1)
+    out = jnp.take_along_axis(all_gen, best[:, None, None], axis=1)[:, 0]
+    return jnp.where(out < 0, cfg.pad_token_id, out)
 
 
 # ---------------------------------------------------------------------------- public API

@@ -77,6 +77,9 @@ def quantize_decoder(dec_params: dict, targets=QUANT_TARGETS) -> dict:
     return out
 
 
-def quantization_error(p: dict) -> float:
-    """Max relative dequantization error of a quantized linear (diagnostics)."""
-    return float(jnp.max(jnp.abs(dequantize(p, dtype=jnp.float32))))
+def quantization_error(qp: dict, kernel) -> float:
+    """Max dequantization error of a quantized linear vs its original ``kernel``,
+    relative to the kernel's max-abs value (diagnostics for QLoRA fidelity debugging)."""
+    w = jnp.asarray(kernel, jnp.float32)
+    err = jnp.max(jnp.abs(dequantize(qp, dtype=jnp.float32) - w))
+    return float(err / jnp.maximum(jnp.max(jnp.abs(w)), 1e-12))

@@ -32,6 +32,18 @@ def update_steps(n_samples: int, global_batch: int, accum: int, epochs: int) -> 
     return per_epoch * epochs
 
 
+def real_rows(batch) -> "np.ndarray":
+    """Boolean [B] mask of non-filler rows (``sample_weight > 0``; all-true when the
+    batch carries no weights) — host-side eval metrics must exclude straggler fillers."""
+    import numpy as np
+
+    w = batch.get("sample_weight")
+    if w is None:
+        first = next(iter(batch.values()))
+        return np.ones((first.shape[0],), bool)
+    return np.asarray(w) > 0
+
+
 def feed(dataset, cfg: CommonConfig, mesh, *, epoch: int, batcher=None,
          shuffle: bool = True) -> Iterator[dict]:
     """Per-epoch device-fed batches of the global batch size."""

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 IGNORE_INDEX = -100
 
 
-def shifted_clm_loss(logits, labels):
+def shifted_clm_loss(logits, labels, sample_weights=None):
     """Causal-LM loss: tokens < n predict n; positions with label -100 are ignored and the
     mean runs over non-ignored targets only.
 
@@ -22,6 +22,8 @@ def shifted_clm_loss(logits, labels):
     averages over valid tokens).
 
     logits: [B, T, V]; labels: [B, T] int with -100 at ignored positions.
+    ``sample_weights`` [B] (optional) down-weights filler rows from straggler batches
+    (weight 0.0) so the mean matches the reference's smaller final batch exactly.
     Returns (loss_scalar_fp32, num_valid_tokens).
     """
     logits = logits[:, :-1, :].astype(jnp.float32)
@@ -31,12 +33,16 @@ def shifted_clm_loss(logits, labels):
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
     token_loss = jnp.where(valid, -token_ll, 0.0)
-    count = jnp.maximum(valid.sum(), 1)
-    return token_loss.sum() / count, valid.sum()
+    if sample_weights is None:
+        count = jnp.maximum(valid.sum(), 1)
+        return token_loss.sum() / count, valid.sum()
+    w = sample_weights.astype(jnp.float32)[:, None]
+    wcount = jnp.maximum((valid * w).sum(), 1e-9)
+    return (token_loss * w).sum() / wcount, (valid * w).sum().astype(jnp.int32)
 
 
 def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 128,
-                             logits_scale: float = 1.0):
+                             logits_scale: float = 1.0, sample_weights=None):
     """Memory-efficient shifted CLM loss computed from hidden states.
 
     The naive path materializes fp32 logits [B, T, V] — at Gemma3's 262k vocab and
@@ -45,9 +51,11 @@ def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 1
     rematerializes them chunk-by-chunk: peak memory [B, chunk, V].
 
     hidden: [B, T, D]; embed_table: [V, D] (tied LM head); labels: [B, T].
-    Semantics identical to :func:`shifted_clm_loss` (same shift, -100 mean).
+    Semantics identical to :func:`shifted_clm_loss` (same shift, -100 mean, optional
+    per-sample weights).
     """
     b, t, d = hidden.shape
+    w = None if sample_weights is None else sample_weights.astype(jnp.float32)[:, None]
     hidden = hidden[:, :-1, :]
     labels = labels[:, 1:]
     t = t - 1
@@ -70,11 +78,16 @@ def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 1
         safe = jnp.where(valid, lbl, 0)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+        token_loss = jnp.where(valid, -ll, 0.0)
+        valid_f = valid.astype(jnp.float32)
+        if w is not None:
+            token_loss = token_loss * w
+            valid_f = valid_f * w
         loss_sum, count = carry
-        return (loss_sum + jnp.where(valid, -ll, 0.0).sum(), count + valid.sum()), None
+        return (loss_sum + token_loss.sum(), count + valid_f.sum()), None
 
-    (loss_sum, count), _ = jax.lax.scan(chunk_fn, (0.0, 0), (hidden, labels))
-    return loss_sum / jnp.maximum(count, 1), count
+    (loss_sum, count), _ = jax.lax.scan(chunk_fn, (0.0, 0.0), (hidden, labels))
+    return loss_sum / jnp.maximum(count, 1e-9), count.astype(jnp.int32)
 
 
 def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None):
@@ -142,10 +155,14 @@ def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1
     return (sample_loss + class_loss) / 2.0
 
 
-def softmax_ce_loss(logits, target_indices):
+def softmax_ce_loss(logits, target_indices, sample_weights=None):
     """Single-label CE for the cls_evaluate probe (cls_evaluate/train_utils.py uses torch
-    ``nn.CrossEntropyLoss`` over class logits)."""
+    ``nn.CrossEntropyLoss`` over class logits). Optional per-sample weights exclude
+    straggler-batch filler rows from the mean."""
     logits = logits.astype(jnp.float32)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logprobs, target_indices[:, None], axis=-1)[:, 0]
-    return nll.mean()
+    if sample_weights is None:
+        return nll.mean()
+    w = sample_weights.astype(jnp.float32)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1e-9)

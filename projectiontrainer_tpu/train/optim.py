@@ -101,8 +101,30 @@ def masked_optimizer(
     transforms.setdefault(M.FROZEN, optax.set_to_zero())
     tx = optax.multi_transform(transforms, labels)
     if accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+        tx = _float_safe_multi_steps(tx, accum_steps)
     return tx
+
+
+def _float_safe_multi_steps(tx, accum_steps: int) -> optax.GradientTransformation:
+    """``optax.MultiSteps`` whose gradient accumulator is always float.
+
+    MultiSteps inits ``acc_grads = zeros_like(params)``; with an int8-quantized QLoRA
+    base the int8 leaves make the accumulation cond's branches disagree (running-mean
+    math promotes to f32, the emit branch returns int8 zeros) and jit fails. Frozen
+    integer leaves carry no gradient anyway — store their accumulator slots as f32.
+    """
+    ms = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+
+    def init_fn(params):
+        state = ms.init(params)
+        acc = jax.tree.map(
+            lambda x: x if jnp.issubdtype(x.dtype, jnp.inexact)
+            else jnp.zeros(x.shape, jnp.float32),
+            state.acc_grads,
+        )
+        return state._replace(acc_grads=acc)
+
+    return optax.GradientTransformation(init_fn, ms.update)
 
 
 def single_group_optimizer(

@@ -26,6 +26,14 @@ def init_state(params, tx) -> dict:
     return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
 
 
+def _zero_grad_like(x):
+    """Zero gradient for a frozen leaf. Integer leaves (int8 quantized QLoRA bases) get
+    FLOAT zeros: a gradient pytree with integer leaves poisons ``optax.MultiSteps``'
+    accumulator dtype and the running mean itself."""
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.inexact) else jnp.float32
+    return jnp.zeros(x.shape, dtype)
+
+
 def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mask=None):
     """loss_fn(params, batch, rng) -> (loss, aux). Returns jitted
     step(state, batch, rng) -> (state, loss, aux).
@@ -61,7 +69,7 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
             (loss, aux), gdiff = jax.value_and_grad(loss_of, has_aux=True)(diff)
             git = iter(gdiff)
             grads_flat = [
-                next(git) if m else jnp.zeros_like(x) for x, m in zip(flat, mask_flat)
+                next(git) if m else _zero_grad_like(x) for x, m in zip(flat, mask_flat)
             ]
             grads = jax.tree_util.tree_unflatten(treedef, grads_flat)
 
@@ -81,7 +89,7 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 
 def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
                           remat: bool, logits_chunk: Optional[int], lora=None,
-                          lora_cfg=None):
+                          lora_cfg=None, sample_weights=None):
     hidden, _ = dec.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
         remat=remat, lora=lora, lora_cfg=lora_cfg,
@@ -89,10 +97,10 @@ def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
     if logits_chunk:
         table = dec.lm_head_table(params["llm"], cfg.llm)
         return losses.chunked_shifted_clm_loss(
-            hidden, table, labels, chunk_size=logits_chunk
+            hidden, table, labels, chunk_size=logits_chunk, sample_weights=sample_weights
         )
     logits = dec.logits(params["llm"], cfg.llm, hidden)
-    return losses.shifted_clm_loss(logits, labels)
+    return losses.shifted_clm_loss(logits, labels, sample_weights=sample_weights)
 
 
 def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
@@ -109,7 +117,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
             caption_ids=batch["caption_ids"],
         )
         loss, n_tok = _clm_loss_from_embeds(
-            params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk
+            params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
+            sample_weights=batch.get("sample_weight"),
         )
         return loss, {"tokens": n_tok}
 
@@ -135,7 +144,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
         lora = params.get("lora") if lora_cfg is not None else None
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
-            lora=lora, lora_cfg=lora_cfg,
+            lora=lora, lora_cfg=lora_cfg, sample_weights=batch.get("sample_weight"),
         )
         return loss, {"tokens": n_tok}
 
@@ -193,7 +202,10 @@ def classifier_loss(cfg: cls_model.ClassifierConfig, *, multilabel: bool = False
         if multilabel:
             loss = losses.two_way_multilabel_loss(logits, batch["targets"], t_p=t_p, t_n=t_n)
         else:
-            loss = losses.softmax_ce_loss(logits, batch["target_indices"])
+            loss = losses.softmax_ce_loss(
+                logits, batch["target_indices"],
+                sample_weights=batch.get("sample_weight"),
+            )
         return loss, {"logits": logits}
 
     return loss_fn

@@ -151,8 +151,9 @@ class ClsTrainer:
         all_logits, all_targets = [], []
         for batch in common.feed(dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
             logits = self._logits_fn(self.state["params"], batch["pixel_values"])
-            all_logits.append(np.asarray(logits, np.float32))
-            all_targets.append(np.asarray(batch[target_key]))
+            keep = common.real_rows(batch)  # drop straggler-batch filler rows
+            all_logits.append(np.asarray(logits, np.float32)[keep])
+            all_targets.append(np.asarray(batch[target_key])[keep])
         logits = np.concatenate(all_logits)
         targets = np.concatenate(all_targets)
         if self.cfg.multilabel_two_way:

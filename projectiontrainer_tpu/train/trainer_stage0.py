@@ -135,7 +135,7 @@ class Stage0Trainer:
         class_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
         preds, targets = [], []
         for batch in common.feed(self.val_dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
-            valid = np.asarray(batch["valid"]).astype(bool)
+            valid = np.asarray(batch["valid"]).astype(bool) & common.real_rows(batch)
             logits = self._zero_shot_fn(
                 self.state["params"], batch["pixel_values"], class_ids
             )

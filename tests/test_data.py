@@ -305,3 +305,28 @@ def test_bucketing_bounds_compilation_count():
     for batch in b.batches([sample() for _ in range(60)]):
         fake_step(jnp.asarray(batch["question_ids"]), jnp.asarray(batch["answer_ids"]))
     assert fake_step._cache_size() <= 4  # 2 q-buckets x 2 a-buckets
+
+
+def test_batchers_emit_sample_weights():
+    """Both batchers mark straggler-filler rows with weight 0 so losses/metrics can
+    reproduce the reference's smaller-final-batch semantics exactly."""
+    rng = np.random.default_rng(3)
+
+    def sample(ql, al):
+        return {
+            "pixel_values": rng.normal(size=(4, 4, 3)).astype(np.float32),
+            "question_ids": rng.integers(1, 50, size=(ql,)),
+            "answer_ids": rng.integers(1, 50, size=(al,)),
+        }
+
+    b = bucketing.BucketBatcher(batch_size=4, pad_id=0)
+    batches = list(b.batches([sample(10, 20) for _ in range(6)]))
+    assert len(batches) == 2
+    np.testing.assert_array_equal(batches[0]["sample_weight"], [1, 1, 1, 1])
+    np.testing.assert_array_equal(batches[1]["sample_weight"], [1, 1, 0, 0])
+
+    fixed = list(bucketing.fixed_batcher(
+        ({"x": np.zeros(2)} for _ in range(5)), 3
+    ))
+    np.testing.assert_array_equal(fixed[0]["sample_weight"], [1, 1, 1])
+    np.testing.assert_array_equal(fixed[1]["sample_weight"], [1, 1, 0])

@@ -186,3 +186,41 @@ def test_stage0_local_negatives_matches_per_shard_reference():
         l, _ = S.stage0_loss(cfg)(params, sub, None)
         expected.append(float(l))
     np.testing.assert_allclose(float(sharded), np.mean(expected), rtol=1e-5)
+
+
+def test_weighted_clm_loss_matches_real_subset():
+    """sample_weight 0 rows (straggler-batch fillers) must not move the loss: the
+    weighted full-batch loss equals the unweighted loss over the real rows only."""
+    rng = np.random.default_rng(11)
+    b, t, v = 4, 9, 23
+    logits = jnp.asarray(rng.normal(size=(b, t, v)).astype(np.float32))
+    labels = rng.integers(0, v, size=(b, t))
+    labels[:, :3] = -100
+    labels = jnp.asarray(labels)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+
+    weighted, n_tok = losses.shifted_clm_loss(logits, labels, sample_weights=w)
+    subset, n_sub = losses.shifted_clm_loss(logits[:2], labels[:2])
+    np.testing.assert_allclose(float(weighted), float(subset), rtol=1e-6)
+    assert int(n_tok) == int(n_sub)
+
+    # chunked variant agrees too
+    d = 8
+    hidden = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    cw, cn = losses.chunked_shifted_clm_loss(
+        hidden, table, labels, chunk_size=4, sample_weights=w
+    )
+    cs, _ = losses.chunked_shifted_clm_loss(hidden[:2], table, labels[:2], chunk_size=4)
+    np.testing.assert_allclose(float(cw), float(cs), rtol=1e-5)
+    assert int(cn) == int(n_sub)
+
+
+def test_weighted_softmax_ce_matches_real_subset():
+    rng = np.random.default_rng(12)
+    logits = jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 7, size=(5,)))
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    weighted = losses.softmax_ce_loss(logits, targets, sample_weights=w)
+    subset = losses.softmax_ce_loss(logits[:3], targets[:3])
+    np.testing.assert_allclose(float(weighted), float(subset), rtol=1e-6)
