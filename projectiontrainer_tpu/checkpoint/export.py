@@ -121,6 +121,131 @@ def save_stage2_checkpoint(
     return ckpt_dir
 
 
+def save_siglip_hf(params, cfg, out_dir: str, *, src_dir: Optional[str] = None) -> str:
+    """Export SigLIP params as an HF snapshot (config.json + model.safetensors) loadable
+    by BOTH ``hf_import.load_siglip`` and ``transformers.SiglipModel.from_pretrained``.
+
+    The reference Stage 0 saves its fine-tuned encoder with ``save_pretrained`` into
+    ``best_model/`` / ``epoch_N/`` dirs that downstream consumers (Stage-1
+    ``--vision_model_name``, the t-SNE epoch sweep, cls_evaluate) load as HF snapshots
+    (Stage0/train_vision_encoder_stage0.py:800-835) — this is the TPU-side equivalent.
+    ``src_dir`` (the pretrained snapshot the run started from) is used to copy processor
+    and tokenizer files alongside, like the reference's ``processor.save_pretrained``.
+    """
+    import jax
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name, arr):
+        sd[name] = np.ascontiguousarray(np.asarray(jax.device_get(arr), np.float32))
+
+    def put_lin(name, p, transpose=True):
+        put(name + ".weight", np.asarray(p["kernel"]).T if transpose else p["kernel"])
+        if "bias" in p:
+            put(name + ".bias", p["bias"])
+
+    def put_ln(name, p):
+        put(name + ".weight", p["scale"])
+        put(name + ".bias", p["bias"])
+
+    def put_encoder(prefix, layers):
+        for i, lp in enumerate(layers):
+            pre = f"{prefix}.layers.{i}."
+            put_ln(pre + "layer_norm1", lp["ln1"])
+            for k in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                put_lin(pre + f"self_attn.{k}", lp["attn"][k])
+            put_ln(pre + "layer_norm2", lp["ln2"])
+            put_lin(pre + "mlp.fc1", lp["mlp"]["fc1"])
+            put_lin(pre + "mlp.fc2", lp["mlp"]["fc2"])
+
+    v = params["vision"]
+    put("vision_model.embeddings.patch_embedding.weight",
+        np.transpose(np.asarray(jax.device_get(v["patch_embedding"]["kernel"]),
+                                np.float32), (3, 2, 0, 1)))  # HWIO -> OIHW
+    put("vision_model.embeddings.patch_embedding.bias", v["patch_embedding"]["bias"])
+    put("vision_model.embeddings.position_embedding.weight",
+        v["position_embedding"]["embedding"])
+    put_encoder("vision_model.encoder", v["layers"])
+    put_ln("vision_model.post_layernorm", v["post_layernorm"])
+    if "head" in v:
+        h = v["head"]
+        put("vision_model.head.probe", h["probe"])
+        in_w = np.concatenate([
+            np.asarray(jax.device_get(h["attention"][k]["kernel"]), np.float32).T
+            for k in ("q_proj", "k_proj", "v_proj")
+        ])
+        in_b = np.concatenate([
+            np.asarray(jax.device_get(h["attention"][k]["bias"]), np.float32)
+            for k in ("q_proj", "k_proj", "v_proj")
+        ])
+        put("vision_model.head.attention.in_proj_weight", in_w)
+        put("vision_model.head.attention.in_proj_bias", in_b)
+        put_lin("vision_model.head.attention.out_proj", h["attention"]["out_proj"])
+        put_ln("vision_model.head.layernorm", h["layernorm"])
+        put_lin("vision_model.head.mlp.fc1", h["mlp"]["fc1"])
+        put_lin("vision_model.head.mlp.fc2", h["mlp"]["fc2"])
+
+    t = params["text"]
+    put("text_model.embeddings.token_embedding.weight", t["token_embedding"]["embedding"])
+    put("text_model.embeddings.position_embedding.weight",
+        t["position_embedding"]["embedding"])
+    put_encoder("text_model.encoder", t["layers"])
+    put_ln("text_model.final_layer_norm", t["final_layer_norm"])
+    put_lin("text_model.head", t["head"])
+    put("logit_scale", np.atleast_1d(np.asarray(jax.device_get(params["logit_scale"]))))
+    put("logit_bias", np.atleast_1d(np.asarray(jax.device_get(params["logit_bias"]))))
+
+    from safetensors.numpy import save_file
+
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    _write_siglip_hf_config(cfg, out_dir, src_dir)
+    if src_dir:
+        import shutil
+
+        for fname in ("preprocessor_config.json", "tokenizer_config.json",
+                      "tokenizer.json", "special_tokens_map.json", "spiece.model",
+                      "vocab.txt"):
+            src = os.path.join(src_dir, fname)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, fname))
+    return out_dir
+
+
+def _write_siglip_hf_config(cfg, out_dir: str, src_dir: Optional[str]):
+    """config.json for the exported snapshot: start from the source snapshot's config
+    when available (preserves fields our SiglipConfig doesn't model), else synthesize."""
+    if src_dir and os.path.exists(os.path.join(src_dir, "config.json")):
+        with open(os.path.join(src_dir, "config.json")) as f:
+            hf = json.load(f)
+    else:
+        hf = {"model_type": "siglip", "vision_config": {}, "text_config": {}}
+    hf["vision_config"].update({
+        "model_type": "siglip_vision_model",
+        "hidden_size": cfg.vision.hidden_size,
+        "intermediate_size": cfg.vision.intermediate_size,
+        "num_hidden_layers": cfg.vision.num_layers,
+        "num_attention_heads": cfg.vision.num_heads,
+        "layer_norm_eps": cfg.vision.layer_norm_eps,
+        "image_size": cfg.vision.image_size,
+        "patch_size": cfg.vision.patch_size,
+        "num_channels": cfg.vision.num_channels,
+    })
+    hf["text_config"].update({
+        "model_type": "siglip_text_model",
+        "hidden_size": cfg.text.hidden_size,
+        "intermediate_size": cfg.text.intermediate_size,
+        "num_hidden_layers": cfg.text.num_layers,
+        "num_attention_heads": cfg.text.num_heads,
+        "layer_norm_eps": cfg.text.layer_norm_eps,
+        "vocab_size": cfg.text.vocab_size,
+        "max_position_embeddings": cfg.text.max_position_embeddings,
+        "projection_size": cfg.text.projection_size or cfg.text.hidden_size,
+    })
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf, f, indent=2)
+
+
 def load_flat_safetensors(path: str):
     """Read a flat path->tensor safetensors file back into a nested pytree."""
     sd = _read_state_dict(path)

@@ -74,6 +74,19 @@ class ClsTrainer:
             os.path.join(self.exp_dir, "orbax"), save_every_n_epochs=2, best_mode="max"
         )
         self.global_step = 0
+        self.start_epoch = 0
+        if cfg.resume:
+            latest = self.ckpt.latest_epoch()
+            if latest is not None:
+                # periodic checkpoints from epoch >= 1 use the post-swap optimizer under
+                # 1EpochUnfreeze; restore into the matching template
+                _, tx_latest, _ = self._steps[self._epoch_frozen(latest)]
+                if tx_latest is not self.tx:
+                    self.state = steps.init_state(self.state["params"], tx_latest)
+                    self.tx = tx_latest
+                self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
+                self.start_epoch = latest + 1
+                self.global_step = int(self.state["step"])
         self.results_tsv = os.path.join(self.exp_dir, "results.tsv")
         if jax.process_index() == 0 and not os.path.exists(self.results_tsv):
             with open(self.results_tsv, "w") as f:
@@ -104,11 +117,13 @@ class ClsTrainer:
     def train(self) -> dict:
         cfg = self.cfg
         best = None
-        for epoch in range(cfg.epochs):
+        for epoch in range(self.start_epoch, cfg.epochs):
             frozen = self._epoch_frozen(epoch)
             step_fn, tx, _ = self._steps[frozen]
             if tx is not self.tx:
+                step = self.state["step"]
                 self.state = steps.init_state(self.state["params"], tx)
+                self.state["step"] = step  # the swap rebuilds optimizer state only
                 self.tx = tx
             losses = []
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):

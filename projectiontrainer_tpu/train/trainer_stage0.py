@@ -78,14 +78,29 @@ class Stage0Trainer:
             min_save_epoch=cfg.min_save_epoch, best_mode="max",
         )
         self.global_step = 0
+        self.start_epoch = 0
         self._zero_shot_fn = jax.jit(self._zero_shot_logits)
+        if cfg.resume:
+            self.resume_latest()
+
+    def resume_latest(self) -> int:
+        """Restore params+optimizer+step from the latest epoch checkpoint — true resume
+        for the 100-epoch Stage-0 run, which the reference lacks (SURVEY §5.3)."""
+        latest = self.ckpt.latest_epoch()
+        if latest is None:
+            return 0
+        self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
+        self.start_epoch = latest + 1
+        self.global_step = int(self.state["step"])
+        self.logger.log({"resumed_from_epoch": latest}, step=self.global_step)
+        return self.start_epoch
 
     # ------------------------------------------------------------------ train
 
     def train(self) -> dict:
         cfg = self.cfg
         epoch_loss = float("nan")
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(self.start_epoch, cfg.num_epochs):
             losses = []
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
                 model_batch = {k: batch[k] for k in ("pixel_values", "input_ids")}
@@ -110,11 +125,28 @@ class Stage0Trainer:
 
             if self.val_dataset is not None and len(self.val_dataset) and self.class_names:
                 zs = self.validate_zero_shot(epoch)
-                self.ckpt.save_best(zs["accuracy"], self.state, {"epoch": epoch, **zs})
+                if self.ckpt.save_best(zs["accuracy"], self.state, {"epoch": epoch, **zs}):
+                    self._export_hf("best_model")
             if cfg.save_every_n_epochs:
-                self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
+                if self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch}):
+                    # reference names these 1-indexed: epoch_{N+1} (Stage0:826)
+                    self._export_hf(f"epoch_{epoch + 1}")
         self.ckpt.save_final(self.state)
         return {"train/epoch_loss": epoch_loss, **self.timer.summary()}
+
+    def _export_hf(self, tag: str):
+        """HF-format snapshot under output_dir/<tag> — what the reference's downstream
+        consumers (Stage-1 --vision_model_name, the t-SNE epoch sweep, cls_evaluate)
+        load with from_pretrained (Stage0/train_vision_encoder_stage0.py:800-835)."""
+        if jax.process_index() != 0:
+            return
+        from projectiontrainer_tpu.checkpoint import export
+
+        src = self.cfg.model_name if os.path.isdir(self.cfg.model_name or "") else None
+        export.save_siglip_hf(
+            jax.device_get(self.state["params"]), self.model_cfg,
+            os.path.join(self.cfg.output_dir, tag), src_dir=src,
+        )
 
     # ------------------------------------------------------------------ zero-shot
 

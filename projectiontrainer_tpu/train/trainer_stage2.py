@@ -131,8 +131,11 @@ class Stage2Trainer:
             ve_flag = cfg.train_ve_first_epoch and epoch == 0
             step_fn, tx, _ = self._steps[ve_flag]
             if tx is not self.tx:
-                # mask swap at the epoch boundary: keep params, rebuild optimizer state
+                # mask swap at the epoch boundary: keep params (and the step counter),
+                # rebuild optimizer state only
+                step = self.state["step"]
                 self.state = steps.init_state(self.state["params"], tx)
+                self.state["step"] = step
                 self.tx = tx
             losses = []
             for batch in common.feed(

@@ -122,3 +122,75 @@ def test_stage2_checkpoint_layout(tmp_path):
     )
     assert isinstance(adapters["layers"], list)
     np.testing.assert_array_equal(adapters["layers"][0]["q_proj"]["a"], lora["layers"][0]["q_proj"]["a"])
+
+
+def test_save_siglip_hf_roundtrip_and_hf_loadable(tmp_path):
+    """Stage-0 HF export (VERDICT r1 missing #2): the exported snapshot loads back
+    through our own importer tensor-for-tensor AND through transformers
+    SiglipModel.from_pretrained with matching forward outputs."""
+    import torch
+
+    from projectiontrainer_tpu import testing as T
+    from projectiontrainer_tpu.models import siglip
+
+    cfg = T.tiny_siglip_cfg(text_len=16)
+    params = siglip.init(jax.random.key(7), cfg)
+    out = str(tmp_path / "export")
+    export.save_siglip_hf(params, cfg, out)
+
+    # roundtrip through our importer
+    cfg2, params2 = hf_import.load_siglip(out)
+    assert cfg2.vision.num_layers == cfg.vision.num_layers
+    flat1 = jax.tree_util.tree_leaves_with_path(params)
+    flat2 = jax.tree_util.tree_leaves_with_path(params2)
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(sorted(flat1, key=lambda x: str(x[0])),
+                                sorted(flat2, key=lambda x: str(x[0]))):
+        assert str(p1) == str(p2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=str(p1))
+
+    # loadable by transformers, no missing/unexpected keys, matching logits
+    from transformers.models.siglip.modeling_siglip import SiglipModel
+
+    model, info = SiglipModel.from_pretrained(out, output_loading_info=True)
+    assert not info["missing_keys"] and not info["unexpected_keys"], info
+    model = model.eval()
+
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(2, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    ids = rng.integers(0, cfg.text.vocab_size, size=(2, 16))
+    with torch.no_grad():
+        hf_out = model(
+            input_ids=torch.tensor(ids), pixel_values=torch.tensor(pix),
+        )
+    ours = siglip.logits_per_image(
+        params, cfg, jnp.asarray(np.transpose(pix, (0, 2, 3, 1))), jnp.asarray(ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), hf_out.logits_per_image.numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_tsne_epoch_sweep_over_exported_snapshots(tmp_path):
+    """--epochs_root sweeps every exported epoch_N/best_model snapshot (the reference's
+    run_epoch_analysis.sh loop, VERDICT r1 missing #5)."""
+    from projectiontrainer_tpu import testing as T
+    from projectiontrainer_tpu.cli import tsne_analysis
+    from projectiontrainer_tpu.models import siglip
+
+    root, manifest = T.synthetic_corpus(str(tmp_path / "corpus"), n=12, image_size=32)
+    cfg = T.tiny_siglip_cfg()
+    s0_out = tmp_path / "s0"
+    for tag, seed in [("epoch_1", 0), ("epoch_2", 1), ("best_model", 2)]:
+        export.save_siglip_hf(
+            siglip.init(jax.random.key(seed), cfg), cfg, str(s0_out / tag)
+        )
+    outputs = tsne_analysis.main([
+        "--epochs_root", str(s0_out), "--data_json", manifest, "--image_root", root,
+        "--classes", "Pneumonia,Edema,Cardiomegaly,No Finding", "--img_size", "32",
+        "--batch_size", "4", "--max_samples_per_class", "3",
+        "--output", str(tmp_path / "plots"),
+    ])
+    assert len(outputs) == 3
+    assert all(os.path.exists(o) for o in outputs)
