@@ -101,6 +101,59 @@ class BucketBatcher:
             yield from self.flush()
 
 
+@dataclasses.dataclass(frozen=True)
+class PlannedBatch:
+    """One globally-agreed batch: bucket shape + the GLOBAL sample indices + how many
+    of them are real (the rest are cyclic straggler fillers, weight 0)."""
+
+    q_bucket: int
+    a_bucket: int
+    indices: np.ndarray   # [global_batch] int
+    n_real: int
+
+
+def global_bucket_plan(
+    q_lens, a_lens, *, batch_size: int,
+    q_buckets: Sequence[int] = DEFAULT_Q_BUCKETS,
+    a_buckets: Sequence[int] = DEFAULT_A_BUCKETS,
+    epoch: int = 0, seed: int = 0, shuffle: bool = True,
+) -> list[PlannedBatch]:
+    """Deterministic epoch batch plan from precomputed token lengths.
+
+    The streaming :class:`BucketBatcher` cannot drive a multi-host feed: each host sees
+    a different sample shard, so bucket shapes and batch counts would diverge across
+    hosts (shape mismatch inside ``make_array_from_process_local_data``, then deadlock).
+    Here every host computes the SAME plan from the same (lengths, seed, epoch), then
+    fetches only its ``1/process_count`` slice of each planned batch — the bucketed
+    analogue of ``DistributedSampler`` (reference: Stage0:508-509).
+    """
+    q_lens = np.asarray(q_lens)
+    a_lens = np.asarray(a_lens)
+    n = len(q_lens)
+    order = np.random.default_rng(seed + epoch).permutation(n) if shuffle else np.arange(n)
+    bins: dict[tuple[int, int], list[int]] = {}
+    plan: list[PlannedBatch] = []
+    for i in order:
+        i = int(i)
+        key = (bucket_for(int(q_lens[i]), q_buckets), bucket_for(int(a_lens[i]), a_buckets))
+        b = bins.setdefault(key, [])
+        b.append(i)
+        if len(b) == batch_size:
+            plan.append(PlannedBatch(key[0], key[1], np.asarray(b), batch_size))
+            bins[key] = []
+    for key in sorted(bins):
+        b = bins[key]
+        if not b:
+            continue
+        n_real = len(b)
+        j = 0
+        while len(b) < batch_size:
+            b.append(b[j % n_real])
+            j += 1
+        plan.append(PlannedBatch(key[0], key[1], np.asarray(b), n_real))
+    return plan
+
+
 def fixed_batcher(samples: Iterable[dict], batch_size: int, *, drop_remainder: bool = False,
                   repeat_to_fill: bool = True) -> Iterator[dict]:
     """Simple static batcher for fixed-shape samples (Stage 0/1, classification).

@@ -140,6 +140,21 @@ class Stage2VQADataset:
             }
         raise RuntimeError("no valid samples in dataset")
 
+    def token_lengths(self) -> tuple[np.ndarray, np.ndarray]:
+        """(q_lens, a_lens) for every sample — text tokenization only, no image IO.
+        Feeds the deterministic global bucket plan: every host computes the same plan
+        from the same lengths, so multi-host bucket shapes and batch counts agree."""
+        problems = [str(s.get("problem", "")) for s in self.samples]
+        answers = [str(s.get("normal_caption", "")) for s in self.samples]
+        q = self.tokenizer(
+            problems, max_length=self.max_q_len, truncation=True, add_special_tokens=False
+        )["input_ids"]
+        a = self.tokenizer(answers, max_length=self.max_a_len, truncation=True)["input_ids"]
+        return (
+            np.asarray([len(x) for x in q], np.int32),
+            np.asarray([len(x) for x in a], np.int32),
+        )
+
 
 class ContrastiveDataset:
     """Stage-0 image-caption pairs with class indices for zero-shot validation. Invalid

@@ -90,6 +90,52 @@ def device_prefetch(batches: Iterable[dict], *, size: int = 2,
         yield item
 
 
+def planned_epoch_batches(
+    dataset,
+    plan,                       # list[bucketing.PlannedBatch] — identical on all hosts
+    *,
+    pad_id: int,
+    q_side: str = "right",
+    a_side: str = "right",
+    num_workers: int = 8,
+    prefetch: int = 2,
+    transform=None,
+) -> Iterator[dict]:
+    """Execute a global bucket plan: this host fetches its contiguous
+    ``1/process_count`` slice of every planned batch (the slice its devices consume
+    under ``make_array_from_process_local_data``), pads to the planned bucket, and
+    emits local batches with globally-consistent ``sample_weight``."""
+    from projectiontrainer_tpu.data.bucketing import pad_to
+
+    pi, pc = jax.process_index(), jax.process_count()
+
+    def local_batches():
+        slices = []
+        for pb in plan:
+            lbs = len(pb.indices) // pc
+            slices.append((pb, pb.indices[pi * lbs:(pi + 1) * lbs], lbs))
+        flat = np.concatenate([idx for _, idx, _ in slices]) if slices else np.zeros(0, int)
+        sample_iter = map_samples(dataset, flat, num_workers=num_workers)
+        for pb, idx, lbs in slices:
+            samples = [next(sample_iter) for _ in range(lbs)]
+            # global row j is real iff j < n_real; this host owns rows pi*lbs + k
+            weight = (pi * lbs + np.arange(lbs) < pb.n_real).astype(np.float32)
+            yield {
+                "pixel_values": np.stack([s["pixel_values"] for s in samples]),
+                "question_ids": np.stack([
+                    pad_to(s["question_ids"], pb.q_bucket, pad_id, side=q_side)
+                    for s in samples
+                ]),
+                "answer_ids": np.stack([
+                    pad_to(s["answer_ids"], pb.a_bucket, pad_id, side=a_side)
+                    for s in samples
+                ]),
+                "sample_weight": weight,
+            }
+
+    yield from device_prefetch(local_batches(), size=prefetch, transform=transform)
+
+
 def epoch_batches(
     dataset,
     *,

@@ -82,10 +82,22 @@ def shard_params(params, mesh: Mesh, rules=DEFAULT_RULES):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every array's leading (batch) dim over the data axis."""
+    """Form the GLOBAL batch from this process's local slice, sharded over the data axis.
+
+    Single-host this is a plain sharded device_put. Multi-host, each process feeds only
+    the rows its addressable devices consume (``jax.make_array_from_process_local_data``)
+    — the pjit-world replacement for ``DistributedSampler`` (reference:
+    Stage0/train_vision_encoder_stage0.py:508-509): global batch = local batch x
+    process_count, with no host decoding data another host's devices will use.
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
-    return jax.tree.map(put, batch)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

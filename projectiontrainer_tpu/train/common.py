@@ -23,12 +23,31 @@ def global_batch_size(cfg: CommonConfig, mesh) -> int:
     return cfg.batch_size * mesh.shape[DATA_AXIS]
 
 
-def steps_per_epoch(n_samples: int, global_batch: int) -> int:
-    return math.ceil(n_samples / global_batch)
+def local_batch_size(global_batch: int, *, process_count: int = None) -> int:
+    """Rows THIS process feeds per step: global / process_count. Each host builds only
+    its addressable slice (jax.make_array_from_process_local_data in shard_batch)."""
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {pc}"
+        )
+    return global_batch // pc
 
 
-def update_steps(n_samples: int, global_batch: int, accum: int, epochs: int) -> int:
-    per_epoch = math.ceil(steps_per_epoch(n_samples, global_batch) / accum)
+def steps_per_epoch(n_samples: int, global_batch: int, *, process_count: int = None) -> int:
+    """Batches each epoch actually yields — computed the way the feed produces them:
+    every host iterates its padded 1/pc index shard in local-batch chunks, so the count
+    is identical on all hosts and the schedule ends exactly at max_train_steps."""
+    pc = jax.process_count() if process_count is None else process_count
+    shard = math.ceil(n_samples / pc)
+    return math.ceil(shard / local_batch_size(global_batch, process_count=pc))
+
+
+def update_steps(n_samples: int, global_batch: int, accum: int, epochs: int,
+                 *, process_count: int = None) -> int:
+    per_epoch = math.ceil(
+        steps_per_epoch(n_samples, global_batch, process_count=process_count) / accum
+    )
     return per_epoch * epochs
 
 
@@ -41,15 +60,33 @@ def real_rows(batch) -> "np.ndarray":
     if w is None:
         first = next(iter(batch.values()))
         return np.ones((first.shape[0],), bool)
-    return np.asarray(w) > 0
+    return to_host(w) > 0
 
 
 def feed(dataset, cfg: CommonConfig, mesh, *, epoch: int, batcher=None,
          shuffle: bool = True) -> Iterator[dict]:
-    """Per-epoch device-fed batches of the global batch size."""
+    """Per-epoch device-fed GLOBAL batches. Each host decodes only its 1/process_count
+    index shard and builds local batches of gbs/process_count rows; shard_batch
+    assembles them into globally-sharded arrays."""
     gbs = global_batch_size(cfg, mesh)
+    lbs = local_batch_size(gbs)
     yield from pipe.epoch_batches(
-        dataset, batch_size=gbs, epoch=epoch, batcher=batcher, seed=cfg.seed,
+        dataset, batch_size=lbs, epoch=epoch, batcher=batcher, seed=cfg.seed,
         shuffle=shuffle, num_workers=cfg.num_workers,
         transform=lambda b: shard_batch(b, mesh),
     )
+
+
+def to_host(x) -> "np.ndarray":
+    """Materialize a (possibly globally-sharded) array on every host as numpy.
+    Single-process: plain np.asarray. Multi-host: all-gather of the addressable shards
+    (the pjit replacement for the reference's gather_object / padded all_gather —
+    Stage2/trainer.py:654, Stage0:362-411); np.asarray on a non-addressable global
+    array would raise."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -167,8 +167,8 @@ class ClsTrainer:
         for batch in common.feed(dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
             logits = self._logits_fn(self.state["params"], batch["pixel_values"])
             keep = common.real_rows(batch)  # drop straggler-batch filler rows
-            all_logits.append(np.asarray(logits, np.float32)[keep])
-            all_targets.append(np.asarray(batch[target_key])[keep])
+            all_logits.append(common.to_host(logits).astype(np.float32)[keep])
+            all_targets.append(common.to_host(batch[target_key])[keep])
         logits = np.concatenate(all_logits)
         targets = np.concatenate(all_targets)
         if self.cfg.multilabel_two_way:

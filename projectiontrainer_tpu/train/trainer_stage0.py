@@ -167,13 +167,13 @@ class Stage0Trainer:
         class_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
         preds, targets = [], []
         for batch in common.feed(self.val_dataset, self.cfg, self.mesh, epoch=0, shuffle=False):
-            valid = np.asarray(batch["valid"]).astype(bool) & common.real_rows(batch)
+            valid = common.to_host(batch["valid"]).astype(bool) & common.real_rows(batch)
             logits = self._zero_shot_fn(
                 self.state["params"], batch["pixel_values"], class_ids
             )
-            pred = np.asarray(jnp.argmax(logits, axis=-1))
+            pred = common.to_host(jnp.argmax(logits, axis=-1))
             preds.append(pred[valid])
-            targets.append(np.asarray(batch["class_idx"])[valid])
+            targets.append(common.to_host(batch["class_idx"])[valid])
         preds = np.concatenate(preds) if preds else np.zeros((0,), np.int32)
         targets = np.concatenate(targets) if targets else np.zeros((0,), np.int32)
         out = M.zero_shot_prf(preds, targets) if len(preds) else {"accuracy": 0.0}

@@ -150,10 +150,10 @@ class Stage1Trainer:
                 ]
                 targets += [
                     self.tokenizer.decode(
-                        [t for t in np.asarray(ids) if t != self.pad_id],
+                        [t for t in ids if t != self.pad_id],
                         skip_special_tokens=True,
                     )
-                    for ids, k in zip(np.asarray(batch["caption_ids"]), keep) if k
+                    for ids, k in zip(common.to_host(batch["caption_ids"]), keep) if k
                 ]
             n_batches += 1
         out = {"val/loss": float(np.mean(losses)) if losses else float("nan")}
@@ -174,9 +174,9 @@ class Stage1Trainer:
         )
         return [
             self.tokenizer.decode(
-                [t for t in np.asarray(row) if t != self.pad_id], skip_special_tokens=True
+                [t for t in row if t != self.pad_id], skip_special_tokens=True
             )
-            for row in np.asarray(ids)
+            for row in common.to_host(ids)
         ]
 
     # ------------------------------------------------------------------ save

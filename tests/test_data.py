@@ -330,3 +330,61 @@ def test_batchers_emit_sample_weights():
     ))
     np.testing.assert_array_equal(fixed[0]["sample_weight"], [1, 1, 1])
     np.testing.assert_array_equal(fixed[1]["sample_weight"], [1, 1, 0])
+
+
+def test_global_bucket_plan_deterministic_and_complete():
+    """The plan is identical across 'hosts' (same seed/epoch), covers every sample
+    exactly once as a real row, and marks fillers."""
+    rng = np.random.default_rng(0)
+    n = 23
+    q_lens = rng.integers(1, 200, size=n)
+    a_lens = rng.integers(1, 900, size=n)
+    mk = lambda: bucketing.global_bucket_plan(
+        q_lens, a_lens, batch_size=4, epoch=3, seed=7
+    )
+    p1, p2 = mk(), mk()
+    assert len(p1) == len(p2)
+    for b1, b2 in zip(p1, p2):
+        assert (b1.q_bucket, b1.a_bucket, b1.n_real) == (b2.q_bucket, b2.a_bucket, b2.n_real)
+        np.testing.assert_array_equal(b1.indices, b2.indices)
+
+    real = [int(i) for b in p1 for i in b.indices[:b.n_real]]
+    assert sorted(real) == list(range(n))
+    for b in p1:
+        assert len(b.indices) == 4
+        assert b.q_bucket >= q_lens[b.indices[:b.n_real]].max()
+        assert b.a_bucket >= a_lens[b.indices[:b.n_real]].max()
+
+
+def test_planned_epoch_batches_shapes_and_weights():
+    from projectiontrainer_tpu.data.pipeline import planned_epoch_batches
+
+    rng = np.random.default_rng(1)
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                "pixel_values": np.full((2, 2, 3), float(i), np.float32),
+                "question_ids": r.integers(1, 50, size=(int(q_lens[i]),)).astype(np.int32),
+                "answer_ids": r.integers(1, 50, size=(int(a_lens[i]),)).astype(np.int32),
+            }
+
+    q_lens = rng.integers(1, 60, size=10)
+    a_lens = rng.integers(1, 250, size=10)
+    plan = bucketing.global_bucket_plan(q_lens, a_lens, batch_size=4, epoch=0, seed=0)
+    batches = list(planned_epoch_batches(DS(), plan, pad_id=0, num_workers=2))
+    assert len(batches) == len(plan)
+    total_real = 0
+    for pb, b in zip(plan, batches):
+        assert b["question_ids"].shape == (4, pb.q_bucket)
+        assert b["answer_ids"].shape == (4, pb.a_bucket)
+        total_real += int(b["sample_weight"].sum())
+        # row content matches the planned sample (pixel fill = index)
+        np.testing.assert_array_equal(
+            b["pixel_values"][:, 0, 0, 0], pb.indices.astype(np.float32)
+        )
+    assert total_real == 10
