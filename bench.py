@@ -4,17 +4,21 @@ Modes (all on production shapes — SigLIP ViT-L/16-384 tower, 1024->10240->1152
 Gemma3-1B-shape decoder with 262k vocab — synthetic data, Pallas flash attention):
 
 - ``stage1`` (default, driver-recorded): projector-alignment train step ->
-  images/sec/chip (frozen bf16 towers + stop-gradient masks, chunked CE).
+  images/sec/chip + MFU (frozen bf16 towers + stop-gradient masks, chunked CE).
 - ``stage2``: QLoRA VQA train step (575 visual + 256 q + 1024 a bucket) -> tokens/sec.
-- ``gen``: jitted KV-cache generation from a [visual; question] prefix -> p50 latency.
+- ``stage2-8b``: same at the Qwen3-8B shape (int8 base) the reference actually trains.
+- ``gen``: KV-cache generation at the REFERENCE inference config (1024 new tokens,
+  3 beams, beam-multinomial sampling + penalties) -> p50 latency.
+- ``flash-check``: on-hardware numeric validation of the Mosaic-compiled Pallas flash
+  kernel vs the XLA path (fwd + grads, production shape).
 - ``stage1-tiny``: CPU-runnable smoke variant.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The reference publishes
-no numbers (BASELINE.md), so vs_baseline compares against the prior round's recorded
-BENCH_r*.json when present, else null. Timing uses per-step host readbacks (the tunneled
-runtime's block_until_ready is not a true sync).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"(, "mfu")}. The reference
+publishes no numbers (BASELINE.md), so vs_baseline compares against the prior round's
+recorded BENCH_r*.json when present, else null. Timing uses per-step host readbacks (the
+tunneled runtime's block_until_ready is not a true sync).
 
-Usage: python bench.py [--mode stage1|stage2|gen|stage1-tiny] [--batch N] [--steps N]
+Usage: python bench.py [--mode ...] [--batch N] [--steps N] [--remat full|dots|none]
 """
 
 from __future__ import annotations
@@ -25,6 +29,109 @@ import json
 import os
 import sys
 import time
+
+
+PEAK_BF16_FLOPS = {
+    # per-chip peak bf16 matmul FLOP/s by device_kind substring
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def _peak_flops_per_chip() -> float:
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12  # default to v5e
+
+
+def _step_flops(jitted, *args) -> float:
+    """XLA's own FLOP estimate for one call (0.0 when the backend can't report it)."""
+    try:
+        lowered = jitted.lower(*args)
+        try:
+            analysis = lowered.cost_analysis()  # no backend compile needed
+        except Exception:
+            analysis = None
+        if analysis is None:
+            # backend doesn't report pre-compile analysis (axon); compile — the
+            # persistent compile cache (enable_compile_cache) makes this cheap and the
+            # jit call afterwards reuses the cached executable from disk
+            analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mfu(flops_per_step: float, step_seconds: float, n_chips: int) -> float:
+    if not flops_per_step or not step_seconds:
+        return 0.0
+    return flops_per_step / step_seconds / (n_chips * _peak_flops_per_chip())
+
+
+def _run_flash_check():
+    """Numerically validate the Mosaic-compiled Pallas flash kernel against the XLA
+    attention path ON THIS backend at the production shape (575 visual + 512 caption =
+    1087 tokens, GQA 4/1, D=256 — the Gemma3-1B attention config), fwd and grads.
+    VERDICT r1 weak #3: interpret-mode CPU tests never exercise the Mosaic compile."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.ops.attention import dot_product_attention
+
+    b, t, hq, hkv, d = 4, 1087, 4, 1, 256
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
+    mask = np.ones((b, t), np.int32)
+    mask[0, :64] = 0  # padding on one row exercises the kv-mask path
+    mask = jnp.asarray(mask)
+    cot = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
+
+    def make(impl):
+        def loss(q, k, v):
+            out = dot_product_attention(
+                q, k, v, scale=d ** -0.5, causal=True, kv_mask=mask, impl=impl
+            )
+            return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32)), out
+
+        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
+
+    (_, out_f), g_f = make("flash")(q, k, v)
+    (_, out_x), g_x = make("xla")(q, k, v)
+
+    def reldiff(a, b):
+        """max|a-b| scaled by the reference tensor's max|b| — bf16 outputs of a
+        1087-position reduction have O(10-100) magnitudes, so absolute diffs alone
+        are meaningless."""
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        return float(jnp.max(jnp.abs(a - b)) / jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+
+    diffs = {
+        "fwd": reldiff(out_f, out_x),
+        "dq": reldiff(g_f[0], g_x[0]),
+        "dk": reldiff(g_f[1], g_x[1]),
+        "dv": reldiff(g_f[2], g_x[2]),
+    }
+    worst = max(diffs.values())
+    import jax as _jax
+
+    return {
+        "metric": "flash_attention_max_rel_diff_vs_xla",
+        "value": worst,
+        "unit": f"max|Δ|/max|ref| bf16 (fwd+grads, {b}x{t} GQA{hq}/{hkv} D{d})",
+        "extra": f"backend={_jax.default_backend()} diffs={diffs} pass={worst < 2e-2}",
+    }
 
 
 def _build_stage1(batch: int, tiny: bool, remat: bool = True):
@@ -90,7 +197,7 @@ def _build_stage1(batch: int, tiny: bool, remat: bool = True):
     return step, state, batch_data
 
 
-def _full_vlm_cfg():
+def _full_vlm_cfg(model: str = "gemma3-1b"):
     import dataclasses
 
     import jax
@@ -101,7 +208,12 @@ def _full_vlm_cfg():
 
     attn = "flash" if jax.default_backend() == "tpu" else "xla"
     vis = dataclasses.replace(siglip.vit_l_16_384(), attn_impl=attn)
-    llm = dec.gemma3_config(attn_impl=attn)
+    if model == "qwen3-8b":
+        # Qwen/Qwen3-8B shape — the LLM the reference actually trains Stage 1/2 on
+        # (Stage2/run_vqa_train_stage2.sh:19)
+        llm = dec.qwen3_config(attn_impl=attn)
+    else:
+        llm = dec.gemma3_config(attn_impl=attn)
     return vlm.VLMConfig(
         vision=vis,
         projector=proj.ProjectorConfig(
@@ -120,11 +232,15 @@ def _init_full_params(cfg, *, quantize=False):
     from projectiontrainer_tpu.models import siglip
 
     rng = jax.random.key(0)
-    llm_params = dec.init(jax.random.fold_in(rng, 2), cfg.llm, jnp.bfloat16)
     if quantize:
-        from projectiontrainer_tpu.ops.quant import quantize_decoder
+        # synthetic int8 weights: same dtypes/shapes/compute as a real quantized load,
+        # but no bf16 intermediate (a full bf16 8B decoder would OOM the chip before it
+        # could be quantized) and no slow PRNG init
+        from projectiontrainer_tpu.testing import synthetic_quantized_decoder
 
-        llm_params = quantize_decoder(llm_params)
+        llm_params = synthetic_quantized_decoder(cfg.llm, seed=2)
+    else:
+        llm_params = dec.init(jax.random.fold_in(rng, 2), cfg.llm, jnp.bfloat16)
     return {
         "vision": siglip.init_vision(jax.random.fold_in(rng, 0), cfg.vision, jnp.bfloat16),
         "projector": proj.init(jax.random.fold_in(rng, 1), cfg.projector, jnp.float32),
@@ -132,7 +248,7 @@ def _init_full_params(cfg, *, quantize=False):
     }
 
 
-def _run_stage2(batch: int, steps_n: int, warmup: int):
+def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b"):
     """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
     import time
 
@@ -142,7 +258,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int):
 
     from projectiontrainer_tpu.train import lora as lora_mod, masks, optim, steps
 
-    cfg = _full_vlm_cfg()
+    cfg = _full_vlm_cfg(model)
     lcfg = lora_mod.LoraConfig(r=16, alpha=32)
     params = _init_full_params(cfg, quantize=True)
     params["lora"] = lora_mod.init(jax.random.key(1), cfg.llm, lcfg)
@@ -160,13 +276,15 @@ def _run_stage2(batch: int, steps_n: int, warmup: int):
 
     nprng = np.random.default_rng(0)
     image = cfg.vision.image_size
+    vocab = cfg.llm.vocab_size
     batch_data = {
         "pixel_values": jnp.asarray(
             nprng.normal(size=(batch, image, image, 3)), dtype=jnp.bfloat16
         ),
-        "question_ids": jnp.asarray(nprng.integers(1, 262144, size=(batch, 256))),
-        "answer_ids": jnp.asarray(nprng.integers(1, 262144, size=(batch, 1024))),
+        "question_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 256))),
+        "answer_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 1024))),
     }
+    flops = _step_flops(step, state, batch_data, jax.random.key(0))
     for i in range(warmup):
         state, loss, aux = step(state, batch_data, jax.random.key(i))
     float(loss)
@@ -177,16 +295,22 @@ def _run_stage2(batch: int, steps_n: int, warmup: int):
         float(loss)
         total_tokens += batch * (575 + 256 + 1024)
     elapsed = time.perf_counter() - t0
+    mfu = _mfu(flops, elapsed / steps_n, jax.device_count())
     return {
-        "metric": "stage2_vqa_tokens_per_sec",
+        "metric": f"stage2_vqa_tokens_per_sec_{model}",
         "value": round(total_tokens / elapsed, 1),
         "unit": "tokens/sec",
-        "extra": f"loss={float(loss):.3f} step={elapsed / steps_n * 1e3:.0f}ms",
+        "mfu": round(mfu, 4),
+        "extra": (f"model={model} batch={batch} loss={float(loss):.3f} "
+                  f"step={elapsed / steps_n * 1e3:.0f}ms mfu={mfu:.1%}"),
     }
 
 
-def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 128):
-    """p50 latency of [visual; question] -> generation (greedy, static KV cache)."""
+def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
+             beams: int = 3, q_len: int = 256, naive_reorder: bool = False):
+    """p50 latency of [visual; question] -> generation with a static KV cache.
+    Defaults are the REFERENCE inference config: max_new 1024, beams 3, q<=256
+    (Stage2/run_vqa_inference_stage2.sh:18-25)."""
     import time
 
     import jax
@@ -201,49 +325,60 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 128):
     nprng = np.random.default_rng(0)
     image = cfg.vision.image_size
     pixels = jnp.asarray(nprng.normal(size=(batch, image, image, 3)), dtype=jnp.bfloat16)
-    q_ids = jnp.asarray(nprng.integers(1, 262144, size=(batch, 64)))
+    q_ids = jnp.asarray(nprng.integers(1, cfg.llm.vocab_size, size=(batch, q_len)))
 
-    gcfg = GenerationConfig(max_new_tokens=max_new, do_sample=False, pad_token_id=0)
+    gcfg = GenerationConfig(
+        max_new_tokens=max_new, num_beams=beams, do_sample=beams > 1,
+        temperature=0.3, top_p=0.9, top_k=50,
+        repetition_penalty=1.8 if beams > 1 else 1.0,
+        length_penalty=1.2 if beams > 1 else 1.0, pad_token_id=0,
+    )
 
     @jax.jit
-    def run(params, pixels, q_ids):
+    def run(params, pixels, q_ids, key):
         visual = vlm.visual_embeds(params, cfg, pixels)
         from projectiontrainer_tpu.models import decoder as dec
 
         q_emb = dec.embed(params["llm"], cfg.llm, q_ids).astype(visual.dtype)
         embeds = jnp.concatenate([visual, q_emb], axis=1)
         mask = jnp.ones(embeds.shape[:2], jnp.int32)
-        return generate(params["llm"], cfg.llm, embeds, mask, gcfg)
+        return generate(params["llm"], cfg.llm, embeds, mask, gcfg, key=key,
+                        naive_cache_reorder=naive_reorder)
 
-    for _ in range(warmup):
-        out = run(params, pixels, q_ids)
+    for i in range(warmup):
+        out = run(params, pixels, q_ids, jax.random.key(i))
     np.asarray(out)
     lat = []
-    for _ in range(steps_n):
+    for i in range(steps_n):
         t0 = time.perf_counter()
-        out = run(params, pixels, q_ids)
+        out = run(params, pixels, q_ids, jax.random.key(100 + i))
         np.asarray(out)
         lat.append((time.perf_counter() - t0) / batch)
-    import numpy as np  # noqa: F811
 
+    p50 = float(np.median(lat))
     return {
-        "metric": "vqa_generation_latency_p50",
-        "value": round(float(np.median(lat)), 4),
-        "unit": f"sec/sample ({max_new} new tokens, batch {batch})",
-        "extra": f"tokens/sec={max_new / np.median(lat):.1f}",
+        "metric": "vqa_generation_latency_p50" + ("_naive_reorder" if naive_reorder else ""),
+        "value": round(p50, 4),
+        "unit": f"sec/sample ({max_new} new, beams {beams}, prefix 575+{q_len}, batch {batch})",
+        "extra": f"tokens/sec={max_new / p50:.1f} sampling={gcfg.do_sample}",
     }
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--mode", default="stage1", choices=["stage1", "stage1-tiny", "stage2", "gen"]
+        "--mode", default="stage1",
+        choices=["stage1", "stage1-tiny", "stage2", "stage2-8b", "gen", "flash-check"],
     )
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--remat", type=str, default="full",
                         choices=["full", "dots", "none"])
+    parser.add_argument("--gen_max_new", type=int, default=1024)
+    parser.add_argument("--gen_beams", type=int, default=3)
+    parser.add_argument("--gen_naive_reorder", action="store_true",
+                        help="full-cache beam gather (the pre-optimization baseline)")
     args = parser.parse_args(argv)
 
     import jax
@@ -252,9 +387,17 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    if args.mode in ("stage2", "gen"):
-        runner = _run_stage2 if args.mode == "stage2" else _run_gen
-        result = runner(min(args.batch, 4), args.steps, args.warmup)
+    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check"):
+        if args.mode == "flash-check":
+            result = _run_flash_check()
+        elif args.mode == "gen":
+            result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
+                              max_new=args.gen_max_new, beams=args.gen_beams,
+                              naive_reorder=args.gen_naive_reorder)
+        else:
+            model = "qwen3-8b" if args.mode == "stage2-8b" else "gemma3-1b"
+            batch = min(args.batch, 4) if model == "gemma3-1b" else min(args.batch, 2)
+            result = _run_stage2(batch, args.steps, args.warmup, model=model)
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))
@@ -266,6 +409,7 @@ def main(argv=None):
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
     step, state, batch_data = _build_stage1(batch, tiny, remat=remat)
+    flops = _step_flops(step, state, batch_data, jax.random.key(0))
 
     # warmup (includes compile); float() forces a device->host readback — the only
     # reliable sync on the tunneled axon runtime (block_until_ready returns early)
@@ -294,16 +438,18 @@ def main(argv=None):
         except Exception:
             pass
 
+    mfu = _mfu(flops, elapsed / args.steps, n_chips)
     print(json.dumps({
         "metric": "stage1_align_images_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
+        "mfu": round(mfu, 4),
     }))
     print(
         f"# mode={args.mode} tiny={tiny} batch={batch} steps={args.steps} "
         f"elapsed={elapsed:.2f}s chips={n_chips} loss={float(loss):.4f} "
-        f"step_time={elapsed / args.steps * 1e3:.1f}ms",
+        f"step_time={elapsed / args.steps * 1e3:.1f}ms mfu={mfu:.1%} remat={args.remat}",
         file=sys.stderr,
     )
 

@@ -43,6 +43,11 @@ class CommonConfig:
     # checkpoint in output_dir — the capability the reference lacks (SURVEY §5.3:
     # optimizer state saved but never reloaded)
     resume: bool = False
+    # jax.profiler capture of steps [profile_start_step, +profile_num_steps) into
+    # profile_dir (TensorBoard-loadable); off when unset (SURVEY §5.1)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=str)

@@ -26,11 +26,14 @@ from projectiontrainer_tpu.core.pytree import path_str
 
 # (pattern, spec) — patterns are re.search'd against the path
 DEFAULT_RULES: Sequence[tuple[str, P]] = (
-    # decoder (llm/ or bare)
-    (r"attn/(q_proj|k_proj|v_proj)/kernel$", P(None, MODEL_AXIS)),
-    (r"attn/o_proj/kernel$", P(MODEL_AXIS, None)),
-    (r"mlp/(gate_proj|up_proj)/kernel$", P(None, MODEL_AXIS)),
-    (r"mlp/down_proj/kernel$", P(MODEL_AXIS, None)),
+    # decoder (llm/ or bare); 'qvalues' = the int8 QLoRA base (ops/quant.py) sharded
+    # like its bf16 kernel, with per-output-channel 'scales' following the output dim
+    (r"attn/(q_proj|k_proj|v_proj)/(kernel|qvalues)$", P(None, MODEL_AXIS)),
+    (r"attn/(q_proj|k_proj|v_proj)/scales$", P(MODEL_AXIS)),
+    (r"attn/o_proj/(kernel|qvalues)$", P(MODEL_AXIS, None)),
+    (r"mlp/(gate_proj|up_proj)/(kernel|qvalues)$", P(None, MODEL_AXIS)),
+    (r"mlp/(gate_proj|up_proj)/scales$", P(MODEL_AXIS)),
+    (r"mlp/down_proj/(kernel|qvalues)$", P(MODEL_AXIS, None)),
     (r"embed_tokens/embedding$", P(MODEL_AXIS, None)),
     (r"lm_head/kernel$", P(None, MODEL_AXIS)),
     # lora adapters: A replicated-in, r-dim replicated; B output-sharded to match base

@@ -108,3 +108,78 @@ def word_tokenizer(extra_words=()):
         tokenizer_object=tok, pad_token="<pad>", eos_token="</s>", bos_token="<s>",
         unk_token="<unk>",
     )
+
+
+def synthetic_quantized_decoder(llm_cfg, *, seed: int = 0):
+    """Decoder pytree with int8 projections (+f32 scales) and bf16 embeddings/norms —
+    structurally identical to ``quantize_decoder(decoder.init(...))`` but generated with
+    the (fast, vectorized) numpy RNG and without ever materializing the bf16 projection
+    weights: a bf16 8B decoder would OOM a 16 GB chip before quantization, and jax's
+    threefry PRNG takes minutes to draw ~8B values on CPU. Used by bench.py and the
+    production-dims multichip dryrun."""
+    rng = np.random.default_rng(seed)
+    h = llm_cfg.hidden_size
+    q_dim = llm_cfg.num_heads * llm_cfg.head_dim
+    kv_dim = llm_cfg.num_kv_heads * llm_cfg.head_dim
+    zc = llm_cfg.rmsnorm_zero_centered
+
+    # bulk RNG is minutes-slow on a contended host CPU for ~8B draws; tile a small
+    # random block with row-rolls instead — statistically meaningless but numerically
+    # well-behaved, which is all a synthetic perf model needs
+    _blocks: dict = {}
+
+    def _block(shape, dtype, gen):
+        if shape not in _blocks:
+            _blocks[shape] = gen(shape)
+        return np.roll(_blocks[shape], int(rng.integers(0, shape[0])), axis=0)
+
+    def emb(n, d, scale=0.02):
+        rows = min(n, 512)
+        small = rng.standard_normal(size=(rows, d), dtype=np.float32) * scale
+        small = np.asarray(jnp.asarray(small, jnp.bfloat16))  # convert once, small
+        reps = -(-n // rows)
+        return jnp.asarray(np.tile(small, (reps, 1))[:n])
+
+    def norm(d):
+        return {"scale": jnp.zeros((d,), jnp.bfloat16) if zc else jnp.ones((d,), jnp.bfloat16)}
+
+    def qlin(din, dout):
+        q = _block((din, dout), np.int8,
+                   lambda s: rng.integers(-127, 128, size=s, dtype=np.int8))
+        return {
+            "qvalues": jnp.asarray(q),
+            "scales": jnp.full((dout,), 0.02 / 127.0, jnp.float32),
+        }
+
+    params = {
+        "embed_tokens": {"embedding": emb(llm_cfg.vocab_size, h)},
+        "final_norm": norm(h),
+        "layers": [],
+    }
+    if not llm_cfg.tie_embeddings:
+        params["lm_head"] = {"kernel": emb(h, llm_cfg.vocab_size)}
+    for _ in range(llm_cfg.num_layers):
+        layer = {
+            "input_norm": norm(h),
+            "attn": {
+                "q_proj": qlin(h, q_dim),
+                "k_proj": qlin(h, kv_dim),
+                "v_proj": qlin(h, kv_dim),
+                "o_proj": qlin(q_dim, h),
+            },
+            "mlp": {
+                "gate_proj": qlin(h, llm_cfg.intermediate_size),
+                "up_proj": qlin(h, llm_cfg.intermediate_size),
+                "down_proj": qlin(llm_cfg.intermediate_size, h),
+            },
+        }
+        if llm_cfg.qk_norm:
+            layer["attn"]["q_norm"] = norm(llm_cfg.head_dim)
+            layer["attn"]["k_norm"] = norm(llm_cfg.head_dim)
+        if llm_cfg.sandwich_norms:
+            for name in ("post_attn_norm", "pre_ffw_norm", "post_ffw_norm"):
+                layer[name] = norm(h)
+        else:
+            layer["post_attn_norm"] = norm(h)
+        params["layers"].append(layer)
+    return params

@@ -50,6 +50,7 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, rng
             )
+            grad_norm = optax.global_norm(grads)
         else:
             # Differentiate ONLY the trainable leaves: frozen leaves enter as
             # stop_gradient constants (XLA prunes their dW matmuls) and may be
@@ -67,7 +68,8 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
                 return loss_fn(jax.tree_util.tree_unflatten(treedef, merged), batch, rng)
 
             (loss, aux), gdiff = jax.value_and_grad(loss_of, has_aux=True)(diff)
-            git = iter(gdiff)
+            grad_norm = optax.global_norm(gdiff)  # trainables only — the wandb.watch
+            git = iter(gdiff)                     # equivalent (SURVEY §5.5)
             grads_flat = [
                 next(git) if m else _zero_grad_like(x) for x, m in zip(flat, mask_flat)
             ]
@@ -75,6 +77,7 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
+        aux = {**aux, "grad_norm": grad_norm}
         return (
             {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
             loss,

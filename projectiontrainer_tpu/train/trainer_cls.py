@@ -26,7 +26,7 @@ from projectiontrainer_tpu.eval import metrics as M
 from projectiontrainer_tpu.models import classifier as cls_model
 from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
-from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
 
 class ClsTrainer:
@@ -42,6 +42,8 @@ class ClsTrainer:
         os.makedirs(self.exp_dir, exist_ok=True)
         self.logger = logger or MetricLogger(self.exp_dir)
         self.timer = StepTimer()
+        self.profiler = StepProfiler(cfg.profile_dir, start_step=cfg.profile_start_step,
+                                     num_steps=cfg.profile_num_steps)
 
         gbs = common.global_batch_size(cfg, self.mesh)
         self.max_train_steps = common.update_steps(
@@ -126,14 +128,17 @@ class ClsTrainer:
                 self.state["step"] = step  # the swap rebuilds optimizer state only
                 self.tx = tx
             losses = []
+            grad_norm = float("nan")
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+                self.profiler.step(self.global_step)
                 self.timer.start()
-                self.state, loss, _ = step_fn(
+                self.state, loss, aux = step_fn(
                     self.state, batch, jax.random.key(self.global_step)
                 )
                 self.timer.stop(images=batch["pixel_values"].shape[0])
                 self.global_step += 1
                 losses.append(float(loss))
+                grad_norm = float(aux["grad_norm"])
             train_loss = float(np.mean(losses)) if losses else float("nan")
 
             val_loss, val_acc, val_auc = float("nan"), float("nan"), float("nan")
@@ -148,12 +153,14 @@ class ClsTrainer:
 
             self.logger.log(
                 {"train/epoch_loss": train_loss, "val/loss": val_loss,
-                 "val/accuracy": val_acc, "val/auc": val_auc, "epoch": epoch},
+                 "val/accuracy": val_acc, "val/auc": val_auc,
+                 "train/grad_norm": grad_norm, "epoch": epoch},
                 step=self.global_step,
             )
             if jax.process_index() == 0:
                 with open(self.results_tsv, "a") as f:
                     f.write(f"{epoch}\t{train_loss:.6f}\t{val_loss:.6f}\t{val_acc:.6f}\t{val_auc:.6f}\n")
+        self.profiler.close()
         return {"best": best, **self.timer.summary()}
 
     # ------------------------------------------------------------------ eval

@@ -26,7 +26,7 @@ from projectiontrainer_tpu.eval import metrics as M
 from projectiontrainer_tpu.models import siglip
 from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
-from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
 
 class Stage0Trainer:
@@ -45,6 +45,8 @@ class Stage0Trainer:
             use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
         )
         self.timer = StepTimer()
+        self.profiler = StepProfiler(cfg.profile_dir, start_step=cfg.profile_start_step,
+                                     num_steps=cfg.profile_num_steps)
 
         gbs = common.global_batch_size(cfg, self.mesh)
         self.max_train_steps = common.update_steps(
@@ -104,8 +106,9 @@ class Stage0Trainer:
             losses = []
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
                 model_batch = {k: batch[k] for k in ("pixel_values", "input_ids")}
+                self.profiler.step(self.global_step)
                 self.timer.start()
-                self.state, loss, _ = self.train_step(
+                self.state, loss, aux = self.train_step(
                     self.state, model_batch, jax.random.key(self.global_step)
                 )
                 self.timer.stop(images=batch["pixel_values"].shape[0])
@@ -116,6 +119,7 @@ class Stage0Trainer:
                         {"train/batch_loss": losses[-1],
                          "learning_rate": float(self.schedule(
                              self.global_step // cfg.gradient_accumulation_steps)),
+                         "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
                     )
@@ -131,6 +135,7 @@ class Stage0Trainer:
                 if self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch}):
                     # reference names these 1-indexed: epoch_{N+1} (Stage0:826)
                     self._export_hf(f"epoch_{epoch + 1}")
+        self.profiler.close()
         self.ckpt.save_final(self.state)
         return {"train/epoch_loss": epoch_loss, **self.timer.summary()}
 

@@ -26,7 +26,7 @@ from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import vlm
 from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
-from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
 
 class Stage1Trainer:
@@ -43,6 +43,8 @@ class Stage1Trainer:
             use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
         )
         self.timer = StepTimer()
+        self.profiler = StepProfiler(cfg.profile_dir, start_step=cfg.profile_start_step,
+                                     num_steps=cfg.profile_num_steps)
 
         gbs = common.global_batch_size(cfg, self.mesh)
         self.max_train_steps = common.update_steps(
@@ -101,6 +103,7 @@ class Stage1Trainer:
         for epoch in range(self.start_epoch, cfg.num_epochs):
             epoch_losses = []
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+                self.profiler.step(self.global_step)
                 self.timer.start()
                 self.state, loss, aux = self.train_step(
                     self.state, batch, jax.random.key(self.global_step)
@@ -113,6 +116,7 @@ class Stage1Trainer:
                     lr = float(self.schedule(self.global_step // accum))
                     self.logger.log(
                         {"train/batch_loss": loss, "learning_rate": lr,
+                         "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
                     )
@@ -128,6 +132,7 @@ class Stage1Trainer:
                 self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
                 self._export_projector(f"epoch_{epoch}")
 
+        self.profiler.close()
         self.ckpt.save_final(self.state)
         self._export_projector("final")
         return {"train/epoch_loss": epoch_loss, "best_val_loss": best_val,

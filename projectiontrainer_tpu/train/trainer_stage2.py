@@ -28,7 +28,7 @@ from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import vlm
 from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, lora as lora_mod, masks, optim, steps
-from projectiontrainer_tpu.utils import MetricLogger, StepTimer
+from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
 
 class Stage2Trainer:
@@ -46,6 +46,8 @@ class Stage2Trainer:
             use_wandb=not cfg.disable_wandb and cfg.wandb_project is not None,
         )
         self.timer = StepTimer()
+        self.profiler = StepProfiler(cfg.profile_dir, start_step=cfg.profile_start_step,
+                                     num_steps=cfg.profile_num_steps)
         self.pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
 
         self.lora_cfg = None
@@ -158,6 +160,7 @@ class Stage2Trainer:
                 self.tx = tx
             losses = []
             for batch in self._feed(self.train_dataset, self._train_plans[epoch]):
+                self.profiler.step(self.global_step)
                 self.timer.start()
                 self.state, loss, aux = step_fn(
                     self.state, batch, jax.random.key(self.global_step)
@@ -172,6 +175,7 @@ class Stage2Trainer:
                         {"train/step_loss": losses[-1],
                          "learning_rate": float(self.schedule(
                              self.global_step // cfg.gradient_accumulation_steps)),
+                         "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
                     )
@@ -183,6 +187,7 @@ class Stage2Trainer:
                 val = self.evaluate(epoch)
                 self.ckpt.save_best(val["val/loss"], self.state, {"epoch": epoch})
             self.save_checkpoint(epoch)
+        self.profiler.close()
         return {"train/epoch_loss": epoch_loss, **self.timer.summary()}
 
     # ------------------------------------------------------------------ eval

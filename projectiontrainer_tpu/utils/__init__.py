@@ -1,2 +1,2 @@
 from projectiontrainer_tpu.utils.logging import MetricLogger
-from projectiontrainer_tpu.utils.timing import StepTimer
+from projectiontrainer_tpu.utils.timing import StepProfiler, StepTimer

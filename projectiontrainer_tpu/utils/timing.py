@@ -68,3 +68,34 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class StepProfiler:
+    """jax.profiler capture of a step window inside a train loop — wired to the
+    ``--profile_dir`` flag (SURVEY §5.1: the reference has no profiling at all).
+
+    Skips the compile steps (default: capture steps [start, start+num)), runs on
+    process 0 only, writes a TensorBoard-loadable trace to ``log_dir``.
+    """
+
+    def __init__(self, log_dir: Optional[str], *, start_step: int = 10, num_steps: int = 5):
+        self.log_dir = log_dir if jax.process_index() == 0 else None
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def step(self, global_step: int):
+        """Call once per train step with the CURRENT step index (before the step runs)."""
+        if not self.log_dir:
+            return
+        if not self._active and global_step == self.start_step:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and global_step >= self.stop_step:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

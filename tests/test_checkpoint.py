@@ -82,6 +82,7 @@ def test_projector_loadable_by_torch(tmp_path):
     assert sd["model.0.weight"].shape == (8, 4)
 
 
+@pytest.mark.slow
 def test_hf_import_from_local_safetensors(tmp_path):
     """Save a tiny HF Gemma3 snapshot locally, re-import through the zero-torch path."""
     import torch
@@ -124,6 +125,7 @@ def test_stage2_checkpoint_layout(tmp_path):
     np.testing.assert_array_equal(adapters["layers"][0]["q_proj"]["a"], lora["layers"][0]["q_proj"]["a"])
 
 
+@pytest.mark.slow
 def test_save_siglip_hf_roundtrip_and_hf_loadable(tmp_path):
     """Stage-0 HF export (VERDICT r1 missing #2): the exported snapshot loads back
     through our own importer tensor-for-tensor AND through transformers
@@ -172,6 +174,7 @@ def test_save_siglip_hf_roundtrip_and_hf_loadable(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_tsne_epoch_sweep_over_exported_snapshots(tmp_path):
     """--epochs_root sweeps every exported epoch_N/best_model snapshot (the reference's
     run_epoch_analysis.sh loop, VERDICT r1 missing #5)."""

@@ -11,6 +11,8 @@ import torch
 
 from projectiontrainer_tpu import testing as T
 
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
+
 
 @pytest.fixture(scope="module")
 def snapshots(tmp_path_factory):

@@ -12,6 +12,8 @@ from projectiontrainer_tpu.models import decoder as dec
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
+
 TOL = dict(rtol=2e-4, atol=2e-4)
 
 

@@ -3,12 +3,15 @@ consistent with full-sequence forward; beam/sampling smoke tests with left-padde
 
 import numpy as np
 import torch
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import decoder as dec
+
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
 
 
 def _tiny_hf_lm(layers=4, hidden=48, vocab=101):

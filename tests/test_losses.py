@@ -1,6 +1,7 @@
 """Loss parity vs torch implementations replicating the reference's exact formulas."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -160,6 +161,7 @@ def test_stop_gradient_mask_freezes_in_step():
     np.testing.assert_array_equal(np.asarray(state["params"]["b"]), 1.0)
 
 
+@pytest.mark.slow
 def test_stage0_local_negatives_matches_per_shard_reference():
     """local_negatives_shards=N == mean of per-shard reference losses (DDP semantics)."""
     import jax

@@ -20,6 +20,8 @@ from projectiontrainer_tpu.models import projector as proj
 from projectiontrainer_tpu.models import siglip, vlm
 from projectiontrainer_tpu.train import steps
 
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
+
 
 @pytest.fixture(scope="module")
 def torch_stack():

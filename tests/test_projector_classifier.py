@@ -3,11 +3,14 @@
 import numpy as np
 import torch
 import torch.nn as nn
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from projectiontrainer_tpu.models import classifier, projector, siglip
+
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
 
 TOL = dict(rtol=3e-4, atol=3e-4)
 

@@ -1,6 +1,7 @@
 """int8 weight-only quantization: accuracy, decoder wiring, LoRA-over-quantized-base."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,7 @@ def test_quantized_matmul_close_to_dense():
     assert rel < 0.02
 
 
+@pytest.mark.slow
 def test_quantized_decoder_forward_close():
     cfg = dec.gemma3_config(
         vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
@@ -50,6 +52,7 @@ def test_quantized_decoder_forward_close():
     assert qparams["layers"][0]["attn"]["q_proj"]["qvalues"].dtype == jnp.int8
 
 
+@pytest.mark.slow
 def test_lora_over_quantized_base():
     """The QLoRA composition: int8 frozen base + trainable LoRA deltas."""
     cfg = dec.gemma3_config(

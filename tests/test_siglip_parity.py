@@ -2,10 +2,13 @@
 
 import numpy as np
 import torch
+import pytest
 
 import jax.numpy as jnp
 
 from projectiontrainer_tpu.models import siglip
+
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
 
 TOL = dict(rtol=3e-4, atol=3e-4)
 

@@ -3,6 +3,7 @@ checkpoint from metadata-reconstructed models, and emit the BEST_RESULT protocol
 
 import io
 import os
+import pytest
 
 import numpy as np
 
@@ -15,6 +16,8 @@ from projectiontrainer_tpu.data import datasets
 from projectiontrainer_tpu.eval import sweep
 from projectiontrainer_tpu.models import classifier as cls_model
 from projectiontrainer_tpu.train.trainer_cls import ClsTrainer
+
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
 
 
 def test_sweep_over_checkpoints(tmp_path):

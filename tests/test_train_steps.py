@@ -45,6 +45,7 @@ def stage1_batch(rng, b=2):
 PAD = 0
 
 
+@pytest.mark.slow
 def test_stage1_step_trains_projector_only():
     cfg = tiny_vlm_cfg()
     params = vlm.init(jax.random.key(0), cfg)
@@ -75,6 +76,7 @@ def test_stage1_step_trains_projector_only():
     assert int(aux["tokens"]) > 0
 
 
+@pytest.mark.slow
 def test_stage2_lora_step_trains_lora_only():
     cfg = tiny_vlm_cfg()
     lcfg = lora_mod.LoraConfig(r=2, alpha=4)
@@ -117,6 +119,7 @@ def test_stage2_lora_step_trains_lora_only():
     assert float(loss) < l0
 
 
+@pytest.mark.slow
 def test_stage0_step_freezes_text_tower():
     cfg = siglip.SiglipConfig(
         vision=siglip.VisionConfig(hidden_size=16, intermediate_size=32, num_layers=2,
@@ -196,6 +199,7 @@ def test_clip_by_module_norm_clips_groups_independently():
     )
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_large_batch():
     """MultiSteps(k) over k microbatches == one step over the concatenated batch."""
     cfg = tiny_vlm_cfg()
@@ -223,6 +227,7 @@ def test_grad_accumulation_matches_large_batch():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stage1_step_runs_on_sharded_mesh(cpu_mesh):
     """The full stage-1 train step compiles and runs with params sharded over a 4x2
     data x model mesh — the dryrun_multichip core."""
@@ -252,3 +257,44 @@ def test_count_params_with_mask():
     n_total = count_params(params)
     n_proj = count_params(params["projector"])
     assert n_train == n_proj < n_total
+
+
+def test_train_step_reports_trainable_grad_norm():
+    """aux['grad_norm'] is the global norm of TRAINABLE grads only (the reference
+    wandb.watch's the projector — Stage1/train_projection_stage1.py:359-370)."""
+    import optax
+
+    from projectiontrainer_tpu.train import steps as S
+
+    k = jax.random.key(0)
+    params = {
+        "trainable": {"w": jax.random.normal(k, (4, 4))},
+        "frozen": {"w": jax.random.normal(jax.random.fold_in(k, 1), (4, 4))},
+    }
+    mask = {"trainable": {"w": True}, "frozen": {"w": False}}
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum(p["trainable"]["w"] ** 2) + jnp.sum(p["frozen"]["w"] ** 2), {}
+
+    tx = optax.sgd(0.1)
+    step = S.make_train_step(loss_fn, tx, donate=False, trainable_mask=mask)
+    state = S.init_state(params, tx)
+    _, _, aux = step(state, {}, jax.random.key(1))
+    expected = float(jnp.linalg.norm(2 * params["trainable"]["w"]))
+    np.testing.assert_allclose(float(aux["grad_norm"]), expected, rtol=1e-5)
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    from projectiontrainer_tpu.utils.timing import StepProfiler
+
+    prof = StepProfiler(str(tmp_path / "trace"), start_step=1, num_steps=2)
+    x = jnp.ones((8, 8))
+    for step in range(5):
+        prof.step(step)
+        x = (x @ x).block_until_ready()
+    prof.close()
+    import glob as g
+
+    assert g.glob(str(tmp_path / "trace" / "**" / "*.trace*"), recursive=True) or \
+        g.glob(str(tmp_path / "trace" / "**" / "*.pb"), recursive=True), \
+        "no profiler artifacts written"

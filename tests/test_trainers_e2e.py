@@ -16,6 +16,8 @@ from projectiontrainer_tpu.data import datasets
 from projectiontrainer_tpu.models import classifier as cls_model
 from projectiontrainer_tpu.models import siglip, vlm
 
+pytestmark = pytest.mark.slow  # torch/HF parity fixtures dominate the suite runtime
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
