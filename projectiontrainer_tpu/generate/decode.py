@@ -69,8 +69,15 @@ def _top_k_filter(logits, k):
     return jnp.where(logits < cutoff, NEG_INF, logits)
 
 
-def _top_p_filter(logits, p):
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+def _top_p_filter(logits, p, *, k_hint: Optional[int] = None):
+    """Nucleus filter. ``k_hint`` is the number of non-NEG_INF entries a preceding
+    top-k filter left per row: sorting those k values (via lax.top_k, which returns
+    them sorted) is exact and avoids a full-vocab sort in the decode loop — at a 262k
+    vocab the full sort dominates the per-token step time."""
+    if k_hint is not None and k_hint < logits.shape[-1]:
+        sorted_logits, _ = jax.lax.top_k(logits, k_hint)
+    else:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # keep smallest set with cumulative prob >= p (always keep the top token)
@@ -78,6 +85,17 @@ def _top_p_filter(logits, p):
     cutoff_idx = jnp.sum(keep_sorted, axis=-1) - 1
     cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[..., None], axis=-1)
     return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def _top_p_on_sorted(sorted_vals, p):
+    """Nucleus filter applied to a descending-sorted (compact) score set — identical
+    cutoff semantics to :func:`_top_p_filter` (entries equal to the cutoff survive)."""
+    probs = jax.nn.softmax(sorted_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < p
+    cutoff_idx = jnp.sum(keep, axis=-1) - 1
+    cutoff = jnp.take_along_axis(sorted_vals, cutoff_idx[..., None], axis=-1)
+    return jnp.where(sorted_vals < cutoff, NEG_INF, sorted_vals)
 
 
 def _sample_token(logits, cfg: GenerationConfig, generated, key):
@@ -88,7 +106,14 @@ def _sample_token(logits, cfg: GenerationConfig, generated, key):
     if cfg.temperature != 1.0:
         logits = logits / cfg.temperature
     if cfg.top_k:
-        logits = _top_k_filter(logits, cfg.top_k)
+        # compact path: one top-k, then nucleus + categorical on [B, k] instead of the
+        # full vocab (the per-step full-width ops dominate decode at a 262k vocab)
+        k = min(cfg.top_k, logits.shape[-1])
+        vals, vidx = jax.lax.top_k(logits, k)
+        if cfg.top_p is not None and cfg.top_p < 1.0:
+            vals = _top_p_on_sorted(vals, cfg.top_p)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        return jnp.take_along_axis(vidx, choice[:, None], axis=-1)[:, 0]
     if cfg.top_p is not None and cfg.top_p < 1.0:
         logits = _top_p_filter(logits, cfg.top_p)
     return jax.random.categorical(key, logits, axis=-1)
@@ -237,27 +262,44 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         scores = _apply_repetition_penalty(
             scores, live_gen.reshape(b * nb, max_new), cfg.repetition_penalty
         )
-        if cfg.do_sample:
+        if cfg.do_sample and cfg.top_k:
+            # compact candidate set: ONE top-k per beam, then warp/gumbel/select on
+            # [B, nb*k] instead of [B, nb*V] — exact (filtered entries could never be
+            # selected) and much cheaper per step at a 262k vocab
             if cfg.temperature != 1.0:
                 scores = scores / cfg.temperature
-            if cfg.top_k:
-                scores = _top_k_filter(scores, cfg.top_k)
+            k = min(cfg.top_k, vocab)
+            vals, vidx = jax.lax.top_k(scores, k)            # [B*nb, k] sorted desc
             if cfg.top_p is not None and cfg.top_p < 1.0:
-                scores = _top_p_filter(scores, cfg.top_p)
-        cand = (scores + live_scores.reshape(-1)[:, None]).reshape(b, nb * vocab)
-
-        if cfg.do_sample:
-            # sample k2 candidates without replacement ∝ softmax(cand), sort by score
+                vals = _top_p_on_sorted(vals, cfg.top_p)
+            cand = (vals + live_scores.reshape(-1)[:, None]).reshape(b, nb * k)
             gumbel = jax.random.gumbel(sub, cand.shape)
-            _, top_idx = jax.lax.top_k(cand + gumbel, k2)
-            top_scores = jnp.take_along_axis(cand, top_idx, axis=-1)
-            order = jnp.argsort(-top_scores, axis=-1)
+            _, top_cidx = jax.lax.top_k(cand + gumbel, k2)   # sample w/o replacement
+            top_scores = jnp.take_along_axis(cand, top_cidx, axis=-1)
+            order = jnp.argsort(-top_scores, axis=-1)        # HF sorts sampled by score
             top_scores = jnp.take_along_axis(top_scores, order, axis=-1)
-            top_idx = jnp.take_along_axis(top_idx, order, axis=-1)
+            top_cidx = jnp.take_along_axis(top_cidx, order, axis=-1)
+            src = top_cidx // k                              # [B, 2nb] source beam
+            flat_rows = jnp.arange(b)[:, None] * nb + src
+            tok = vidx[flat_rows, top_cidx % k].astype(jnp.int32)
         else:
-            top_scores, top_idx = jax.lax.top_k(cand, k2)    # [B, 2nb]
-        src = top_idx // vocab
-        tok = (top_idx % vocab).astype(jnp.int32)
+            if cfg.do_sample:
+                if cfg.temperature != 1.0:
+                    scores = scores / cfg.temperature
+                if cfg.top_p is not None and cfg.top_p < 1.0:
+                    scores = _top_p_filter(scores, cfg.top_p)
+            cand = (scores + live_scores.reshape(-1)[:, None]).reshape(b, nb * vocab)
+            if cfg.do_sample:
+                gumbel = jax.random.gumbel(sub, cand.shape)
+                _, top_idx = jax.lax.top_k(cand + gumbel, k2)
+                top_scores = jnp.take_along_axis(cand, top_idx, axis=-1)
+                order = jnp.argsort(-top_scores, axis=-1)
+                top_scores = jnp.take_along_axis(top_scores, order, axis=-1)
+                top_idx = jnp.take_along_axis(top_idx, order, axis=-1)
+            else:
+                top_scores, top_idx = jax.lax.top_k(cand, k2)    # [B, 2nb]
+            src = top_idx // vocab
+            tok = (top_idx % vocab).astype(jnp.int32)
         if cfg.eos_token_id is not None:
             is_eos = tok == cfg.eos_token_id
         else:
