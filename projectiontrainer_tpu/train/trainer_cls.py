@@ -127,19 +127,21 @@ class ClsTrainer:
                 self.state = steps.init_state(self.state["params"], tx)
                 self.state["step"] = step  # the swap rebuilds optimizer state only
                 self.tx = tx
-            losses = []
-            grad_norm = float("nan")
+            loss_sum, n_losses = None, 0
+            last_grad_norm = None
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
                 self.profiler.step(self.global_step)
-                self.timer.start()
                 self.state, loss, aux = step_fn(
                     self.state, batch, jax.random.key(self.global_step)
                 )
-                self.timer.stop(images=batch["pixel_values"].shape[0])
+                self.timer.count(images=batch["pixel_values"].shape[0])
                 self.global_step += 1
-                losses.append(float(loss))
-                grad_norm = float(aux["grad_norm"])
-            train_loss = float(np.mean(losses)) if losses else float("nan")
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n_losses += 1
+                last_grad_norm = aux["grad_norm"]
+            train_loss = float(loss_sum / n_losses) if n_losses else float("nan")
+            grad_norm = float(last_grad_norm) if last_grad_norm is not None else float("nan")
+            self.timer.window_end()
 
             val_loss, val_acc, val_auc = float("nan"), float("nan"), float("nan")
             meta = {"epoch": epoch, "config": cfg.to_json(),

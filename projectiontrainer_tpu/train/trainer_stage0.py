@@ -103,27 +103,30 @@ class Stage0Trainer:
         cfg = self.cfg
         epoch_loss = float("nan")
         for epoch in range(self.start_epoch, cfg.num_epochs):
-            losses = []
+            loss_sum, n_losses = None, 0
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
                 model_batch = {k: batch[k] for k in ("pixel_values", "input_ids")}
                 self.profiler.step(self.global_step)
-                self.timer.start()
                 self.state, loss, aux = self.train_step(
                     self.state, model_batch, jax.random.key(self.global_step)
                 )
-                self.timer.stop(images=batch["pixel_values"].shape[0])
+                self.timer.count(images=batch["pixel_values"].shape[0])
                 self.global_step += 1
-                losses.append(float(loss))
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n_losses += 1
                 if self.global_step % cfg.logging_steps == 0:
+                    loss_f = float(loss)  # sync point
+                    self.timer.window_end()
                     self.logger.log(
-                        {"train/batch_loss": losses[-1],
+                        {"train/batch_loss": loss_f,
                          "learning_rate": float(self.schedule(
                              self.global_step // cfg.gradient_accumulation_steps)),
                          "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
                     )
-            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            epoch_loss = float(loss_sum / n_losses) if n_losses else float("nan")
+            self.timer.window_end()
             self.logger.log({"train/epoch_loss": epoch_loss, "epoch": epoch},
                             step=self.global_step)
 

@@ -158,28 +158,35 @@ class Stage2Trainer:
                 self.state = steps.init_state(self.state["params"], tx)
                 self.state["step"] = step
                 self.tx = tx
-            losses = []
+            # device-side loss accumulation; host syncs only at logging boundaries
+            loss_sum, n_losses = None, 0
+            visual_tokens = self.vlm_cfg.vision.num_patches - 1
             for batch in self._feed(self.train_dataset, self._train_plans[epoch]):
                 self.profiler.step(self.global_step)
-                self.timer.start()
+                b, q_len = batch["question_ids"].shape
+                a_len = batch["answer_ids"].shape[1]
                 self.state, loss, aux = step_fn(
                     self.state, batch, jax.random.key(self.global_step)
                 )
-                self.timer.stop(
-                    images=batch["pixel_values"].shape[0], tokens=int(aux["tokens"])
-                )
+                # processed (padded) tokens — host-side; reading aux['tokens'] per
+                # step would force a device sync
+                self.timer.count(images=b, tokens=b * (visual_tokens + q_len + a_len))
                 self.global_step += 1
-                losses.append(float(loss))
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n_losses += 1
                 if self.global_step % cfg.logging_steps == 0:
+                    loss_f = float(loss)  # sync point
+                    self.timer.window_end()
                     self.logger.log(
-                        {"train/step_loss": losses[-1],
+                        {"train/step_loss": loss_f,
                          "learning_rate": float(self.schedule(
                              self.global_step // cfg.gradient_accumulation_steps)),
                          "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
                     )
-            epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            epoch_loss = float(loss_sum / n_losses) if n_losses else float("nan")
+            self.timer.window_end()
             self.logger.log({"train/epoch_loss": epoch_loss, "epoch": epoch,
                              "ve_trained": float(ve_flag)}, step=self.global_step)
 

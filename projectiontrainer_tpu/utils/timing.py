@@ -15,43 +15,75 @@ import jax
 
 
 class StepTimer:
-    def __init__(self, *, warmup_steps: int = 2):
-        self.warmup_steps = warmup_steps
+    """Window-based throughput measurement that never forces a device sync itself.
+
+    Per-step host readbacks (``float(loss)``) stall the dispatch pipeline — measured
+    ~9% of stage-1 step time through the tunneled runtime — so trainers now sync only
+    at logging boundaries. Usage: ``count()`` each step (no timing), then
+    ``window_end()`` IMMEDIATELY AFTER a real host-device sync; the elapsed window is
+    attributed to the steps counted in it. The first window (jit compile) is excluded.
+
+    The legacy per-step ``start()``/``stop()`` API remains for callers that do sync
+    every step (each start/stop pair is a one-step window).
+    """
+
+    def __init__(self, *, warmup_steps: int = 1):
+        self.warmup_windows = warmup_steps
         self.reset()
 
     def reset(self):
-        self._count = 0
+        self._windows = 0
+        self._steps = 0
         self._images = 0
         self._tokens = 0
         self._elapsed = 0.0
+        self._pending_steps = 0
+        self._pending_images = 0
+        self._pending_tokens = 0
         self._t0: Optional[float] = None
 
+    # ------------------------------------------------------------- window API
+    def count(self, *, images: int = 0, tokens: int = 0):
+        """Record one dispatched step's work items (call once per train step)."""
+        if self._t0 is None:
+            self._t0 = time.perf_counter()
+        self._pending_steps += 1
+        self._pending_images += images
+        self._pending_tokens += tokens
+
+    def window_end(self):
+        """Close the current window — call right after a host-device sync."""
+        if self._t0 is None or self._pending_steps == 0:
+            return
+        dt = time.perf_counter() - self._t0
+        self._windows += 1
+        if self._windows > self.warmup_windows:  # first window(s) include compile
+            self._elapsed += dt
+            self._steps += self._pending_steps
+            self._images += self._pending_images
+            self._tokens += self._pending_tokens
+        self._pending_steps = self._pending_images = self._pending_tokens = 0
+        self._t0 = time.perf_counter()
+
+    # ---------------------------------------------------- legacy per-step API
     def start(self):
         self._t0 = time.perf_counter()
 
     def stop(self, *, images: int = 0, tokens: int = 0):
-        assert self._t0 is not None
-        dt = time.perf_counter() - self._t0
-        self._t0 = None
-        self._count += 1
-        if self._count <= self.warmup_steps:  # exclude compile steps
-            return dt
-        self._elapsed += dt
-        self._images += images
-        self._tokens += tokens
-        return dt
+        self.count(images=images, tokens=tokens)
+        self.window_end()
 
     @property
     def measured_steps(self) -> int:
-        return max(0, self._count - self.warmup_steps)
+        return self._steps
 
     def summary(self, *, n_chips: Optional[int] = None) -> dict:
         n_chips = n_chips or jax.device_count()
-        if self.measured_steps == 0 or self._elapsed == 0:
+        if self._steps == 0 or self._elapsed == 0:
             return {}
         out = {
-            "steps_per_sec": self.measured_steps / self._elapsed,
-            "step_time_ms": 1e3 * self._elapsed / self.measured_steps,
+            "steps_per_sec": self._steps / self._elapsed,
+            "step_time_ms": 1e3 * self._elapsed / self._steps,
         }
         if self._images:
             out["images_per_sec"] = self._images / self._elapsed
