@@ -23,6 +23,7 @@ def main(argv=None):
         cfg.vision_model_name, cfg.llm_name,
         expansion_factor=cfg.expansion_factor, seed=cfg.seed,
         quantize_llm=cfg.enable_qlora,
+        quant_method=cfg.quant_method,
     )
     tokenizer = setup.load_tokenizer(cfg.llm_name)
 

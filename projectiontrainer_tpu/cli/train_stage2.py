@@ -25,6 +25,7 @@ def main(argv=None):
         cfg.vision_model_name, cfg.llm_name,
         stage1_projector_path=cfg.stage1_projector_path or None, seed=cfg.seed,
         quantize_llm=cfg.enable_qlora,
+        quant_method=cfg.quant_method,
     )
     tokenizer = setup.load_tokenizer(cfg.llm_name)
 

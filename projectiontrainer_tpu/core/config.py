@@ -62,7 +62,8 @@ class Stage1Config(CommonConfig):
     train_val_split: float = 0.0
     max_caption_len: int = 512
     save_every_n_epochs: int = 2
-    enable_qlora: bool = False       # base-LLM quantized load; int8 on TPU (no NF4 kernel)
+    enable_qlora: bool = False       # base-LLM quantized load (nf4 by default)
+    quant_method: str = "nf4"        # 'nf4' (reference bitsandbytes format) | 'int8'
     expansion_factor: int = 10
     grad_clip: float = 5.0
     learning_rate: float = 1e-4
@@ -79,6 +80,7 @@ class Stage2Config(CommonConfig):
     max_q_len: int = 128
     max_a_len: int = 512
     enable_qlora: bool = False
+    quant_method: str = "nf4"        # 'nf4' (reference format) | 'int8' (faster step)
     unfreeze_projection_layer: bool = False
     unfreeze_llm: bool = False
     train_ve_first_epoch: bool = False

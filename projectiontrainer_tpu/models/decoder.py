@@ -218,7 +218,7 @@ def _norm(p, x, cfg: DecoderConfig):
 
 def _proj(lp, name, x, lora_layer, lora_cfg):
     p = lp[name]
-    if "qvalues" in p:  # int8 weight-only quantized base (ops/quant.py, QLoRA path)
+    if "qvalues" in p or "packed_nf4" in p:  # quantized base (ops/quant.py, QLoRA)
         from projectiontrainer_tpu.ops.quant import quantized_matmul
 
         y = quantized_matmul(p, x)

@@ -110,7 +110,7 @@ def word_tokenizer(extra_words=()):
     )
 
 
-def synthetic_quantized_decoder(llm_cfg, *, seed: int = 0):
+def synthetic_quantized_decoder(llm_cfg, *, seed: int = 0, method: str = "int8"):
     """Decoder pytree with int8 projections (+f32 scales) and bf16 embeddings/norms —
     structurally identical to ``quantize_decoder(decoder.init(...))`` but generated with
     the (fast, vectorized) numpy RNG and without ever materializing the bf16 projection
@@ -144,6 +144,14 @@ def synthetic_quantized_decoder(llm_cfg, *, seed: int = 0):
         return {"scale": jnp.zeros((d,), jnp.bfloat16) if zc else jnp.ones((d,), jnp.bfloat16)}
 
     def qlin(din, dout):
+        if method == "nf4":
+            packed = _block((din // 2, dout), np.uint8,
+                            lambda s: rng.integers(0, 256, size=s, dtype=np.uint8))
+            block = min(64, din)
+            return {
+                "packed_nf4": jnp.asarray(packed),
+                "block_scales": jnp.full((din // block, dout), 0.02, jnp.float32),
+            }
         q = _block((din, dout), np.int8,
                    lambda s: rng.integers(-127, 128, size=s, dtype=np.int8))
         return {

@@ -84,10 +84,12 @@ def merge_into_decoder(dec_params, lora_params, cfg: LoraConfig):
         for t, p in layer.items():
             dst = merged["layers"][i]["attn"] if t in attn_targets else merged["layers"][i]["mlp"]
             tp = dst[t]
-            if "qvalues" in tp:  # int8 quantized base: dequantize to dense bf16 first
-                from projectiontrainer_tpu.ops.quant import dequantize
+            if "qvalues" in tp or "packed_nf4" in tp:
+                # quantized base (int8 or nf4): dequantize to dense bf16 first
+                from projectiontrainer_tpu.ops.quant import dequantize, dequantize_nf4
 
-                w = dequantize(tp, dtype=jnp.bfloat16)
+                w = (dequantize_nf4(tp, dtype=jnp.bfloat16) if "packed_nf4" in tp
+                     else dequantize(tp, dtype=jnp.bfloat16))
                 tp = {"kernel": w, **({"bias": tp["bias"]} if "bias" in tp else {})}
             w = tp["kernel"]
             delta = (p["a"].astype(jnp.float32) @ p["b"].astype(jnp.float32)) * cfg.scaling

@@ -38,13 +38,15 @@ def build_vlm(
     param_dtype=jnp.float32,
     frozen_dtype=jnp.bfloat16,
     quantize_llm: bool = False,
+    quant_method: str = "nf4",
 ):
     """Assemble (VLMConfig, params) from local snapshots. ``frozen_dtype`` stores the
     pretrained towers in bf16 (half the HBM; they are frozen in Stage 1 and under LoRA)
     while trainable-by-default parts stay in ``param_dtype``. ``quantize_llm`` applies
-    int8 weight-only quantization to the decoder projections — the ``--enable_qlora``
-    base-weight path (reference loads NF4 4-bit; int8 is the TPU equivalent,
-    SURVEY §7.3.5)."""
+    weight-only quantization to the decoder projections — the ``--enable_qlora``
+    base-weight path. ``quant_method``: 'nf4' (block-wise 4-bit, the reference's
+    bitsandbytes format — Stage2/train_vqa_stage2.py:171-177) or 'int8' (2x memory of
+    nf4 but the cheapest dequant, i.e. fastest step)."""
     for path in (vision_model_name, llm_name):
         if not os.path.isdir(path):
             raise FileNotFoundError(
@@ -72,7 +74,7 @@ def build_vlm(
     if quantize_llm:
         from projectiontrainer_tpu.ops.quant import quantize_decoder
 
-        llm_tree = quantize_decoder(llm_tree)
+        llm_tree = quantize_decoder(llm_tree, method=quant_method)
     params = {
         "vision": cast(siglip_params["vision"], frozen_dtype),
         "projector": cast(proj_params, param_dtype),

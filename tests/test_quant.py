@@ -89,3 +89,85 @@ def test_quantization_error_diagnostic():
     # an unrelated kernel must show a large error
     other = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32)) * 3.0
     assert quant.quantization_error(qp, other) > 0.1
+
+
+def test_nf4_roundtrip_and_codebook():
+    """NF4 block quantization: the codebook matches bitsandbytes' published values and
+    block-absmax roundtrip error is within 4-bit expectations."""
+    # published NF4 property: symmetric-ish quantiles with 0 and +/-1 endpoints
+    code = np.asarray(quant.NF4_CODE)
+    assert code[0] == -1.0 and code[-1] == 1.0 and 0.0 in code and len(code) == 16
+    assert (np.diff(code) > 0).all()
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(128, 96)).astype(np.float32)) * 0.05
+    qp = quant.quantize_nf4(w)
+    assert qp["packed_nf4"].shape == (64, 96) and qp["packed_nf4"].dtype == jnp.uint8
+    assert qp["block_scales"].shape == (2, 96)
+    deq = quant.dequantize_nf4(qp, dtype=jnp.float32)
+    # nf4 error bound: the widest adjacent-code gap is 0.304 (-1 -> -0.696), so the
+    # worst rounding error is half of that, scaled by the block absmax
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    bound = 0.16 * np.repeat(np.asarray(qp["block_scales"]), 64, axis=0)
+    assert (err <= bound + 1e-6).all()
+    assert quant.quantization_error(qp, w) < 0.16
+
+
+def test_nf4_matmul_and_decoder_forward():
+    from projectiontrainer_tpu import testing as T
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32)) * 0.05
+    qp = quant.quantize_nf4(w)
+    np.testing.assert_allclose(
+        np.asarray(quant.quantized_matmul(qp, x)), np.asarray(x @ w), atol=0.5, rtol=0.2
+    )
+
+    cfg = T.tiny_llm_cfg(hidden=64, vocab=128)
+    params = dec.init(jax.random.key(0), cfg)
+    qparams = quant.quantize_decoder(params, method="nf4")
+    ids = jnp.asarray(rng.integers(1, 128, size=(2, 6)))
+    h_full, _ = dec.forward(params, cfg, input_ids=ids)
+    h_q, _ = dec.forward(qparams, cfg, input_ids=ids)
+    # 4-bit base: same scale of activations, correlated outputs
+    assert np.isfinite(np.asarray(h_q)).all()
+    rel = np.linalg.norm(np.asarray(h_q - h_full)) / np.linalg.norm(np.asarray(h_full))
+    assert rel < 0.35, rel
+
+
+@pytest.mark.slow
+def test_lora_over_nf4_base_trains_and_merges():
+    """LoRA adapters train over a frozen NF4 base; merge dequantizes to dense bf16."""
+    import optax
+
+    from projectiontrainer_tpu import testing as T
+    from projectiontrainer_tpu.train import masks, steps
+
+    cfg = T.tiny_llm_cfg(hidden=64, vocab=128)
+    lcfg = lora_mod.LoraConfig(r=4, alpha=8)
+    base = quant.quantize_decoder(dec.init(jax.random.key(0), cfg), method="nf4")
+    params = {"llm": base, "lora": lora_mod.init(jax.random.key(1), cfg, lcfg)}
+    mask = {"llm": jax.tree.map(lambda _: False, base),
+            "lora": jax.tree.map(lambda _: True, params["lora"])}
+
+    def loss_fn(p, batch, rng):
+        h, _ = dec.forward(p["llm"], cfg, input_ids=batch["ids"],
+                           lora=p["lora"], lora_cfg=lcfg)
+        return jnp.mean(h.astype(jnp.float32) ** 2), {}
+
+    tx = optax.adam(1e-2)
+    step = steps.make_train_step(loss_fn, tx, donate=False, trainable_mask=mask)
+    state = steps.init_state(params, tx)
+    batch = {"ids": jnp.asarray(np.random.default_rng(2).integers(1, 128, size=(2, 6)))}
+    before = np.asarray(state["params"]["lora"]["layers"][0]["q_proj"]["b"]).copy()
+    for i in range(3):
+        state, loss, _ = step(state, batch, jax.random.key(i))
+    assert np.isfinite(float(loss))
+    after = np.asarray(state["params"]["lora"]["layers"][0]["q_proj"]["b"])
+    assert not np.allclose(before, after)
+
+    merged = lora_mod.merge_into_decoder(state["params"]["llm"], state["params"]["lora"], lcfg)
+    assert "kernel" in merged["layers"][0]["attn"]["q_proj"]
+    h, _ = dec.forward(merged, cfg, input_ids=batch["ids"])
+    assert np.isfinite(np.asarray(h, np.float32)).all()
