@@ -327,10 +327,13 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
 
 
 def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
-             beams: int = 3, q_len: int = 256, naive_reorder: bool = False):
+             beams: int = 3, q_len: int = 256, naive_reorder: bool = False,
+             quant_method: str = "none"):
     """p50 latency of [visual; question] -> generation with a static KV cache.
     Defaults are the REFERENCE inference config: max_new 1024, beams 3, q<=256
-    (Stage2/run_vqa_inference_stage2.sh:18-25)."""
+    (Stage2/run_vqa_inference_stage2.sh:18-25). ``quant_method`` runs the decode on a
+    quantized base (the reference's inference also loads the 4-bit base) — decode is
+    HBM-bound on weight reads, so int8/nf4 cut the dominant traffic 2-4x."""
     import time
 
     import jax
@@ -341,7 +344,9 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
     from projectiontrainer_tpu.models import vlm
 
     cfg = _full_vlm_cfg()
-    params = _init_full_params(cfg)
+    params = _init_full_params(
+        cfg, quantize=quant_method != "none", quant_method=quant_method
+    )
     nprng = np.random.default_rng(0)
     image = cfg.vision.image_size
     pixels = jnp.asarray(nprng.normal(size=(batch, image, image, 3)), dtype=jnp.bfloat16)
@@ -376,11 +381,14 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
         lat.append((time.perf_counter() - t0) / batch)
 
     p50 = float(np.median(lat))
+    suffix = ("_naive_reorder" if naive_reorder else "") + (
+        f"_{quant_method}" if quant_method != "none" else ""
+    )
     return {
-        "metric": "vqa_generation_latency_p50" + ("_naive_reorder" if naive_reorder else ""),
+        "metric": "vqa_generation_latency_p50" + suffix,
         "value": round(p50, 4),
         "unit": f"sec/sample ({max_new} new, beams {beams}, prefix 575+{q_len}, batch {batch})",
-        "extra": f"tokens/sec={max_new / p50:.1f} sampling={gcfg.do_sample}",
+        "extra": f"tokens/sec={max_new / p50:.1f} sampling={gcfg.do_sample} quant={quant_method}",
     }
 
 
@@ -401,9 +409,11 @@ def main(argv=None):
     parser.add_argument("--gen_beams", type=int, default=3)
     parser.add_argument("--gen_naive_reorder", action="store_true",
                         help="full-cache beam gather (the pre-optimization baseline)")
-    parser.add_argument("--quant", type=str, default="int8", choices=["int8", "nf4"],
-                        help="QLoRA base format for stage2 modes (nf4 = reference "
-                             "bitsandbytes format, 4-bit; int8 = fastest dequant)")
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=["int8", "nf4", "none"],
+                        help="base-weight format: stage2 modes default int8, gen "
+                             "defaults none (bf16); nf4 = the reference bitsandbytes "
+                             "4-bit format")
     args = parser.parse_args(argv)
 
     import jax
@@ -418,12 +428,13 @@ def main(argv=None):
         elif args.mode == "gen":
             result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
                               max_new=args.gen_max_new, beams=args.gen_beams,
-                              naive_reorder=args.gen_naive_reorder)
+                              naive_reorder=args.gen_naive_reorder,
+                              quant_method=args.quant or "none")
         else:
             model = "qwen3-8b" if args.mode == "stage2-8b" else "gemma3-1b"
             batch = min(args.batch, 4) if model == "gemma3-1b" else min(args.batch, 2)
             result = _run_stage2(batch, args.steps, args.warmup, model=model,
-                                 quant_method=args.quant)
+                                 quant_method=args.quant or "int8")
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))

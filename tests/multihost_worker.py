@@ -78,6 +78,34 @@ def main():
     result = trainer.train()
     val_metrics = trainer.evaluate(epoch=0, max_generate_batches=1)
 
+    # ---- stage 2: the planned bucket feed must agree across hosts (same plan from
+    # the same token lengths -> same shapes and batch count on every process)
+    from projectiontrainer_tpu.core.config import Stage2Config
+    from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+
+    s2cfg = Stage2Config(
+        image_root=root, train_json=manifest,
+        output_dir=os.path.join(workdir, "out_s2"), img_size=32, batch_size=1,
+        num_epochs=1, max_q_len=12, max_a_len=8, enable_qlora=True,
+        num_workers=2, mesh_data=-1, disable_wandb=True, logging_steps=1000,
+    )
+    s2ds = datasets.Stage2VQADataset(
+        samples, image_root=root, tokenizer=tok, image_size=32, max_q_len=12, max_a_len=8
+    )
+    import jax.numpy as jnp
+
+    from projectiontrainer_tpu.models import siglip as siglip_mod
+
+    vparams = vlm.init(jax.random.key(0), vcfg)
+    s2 = Stage2Trainer(
+        s2cfg, vlm_cfg=vcfg, params=vparams, tokenizer=tok,
+        train_dataset=s2ds, val_dataset=None, mesh=mesh,
+    )
+    s2_plan_batches = len(s2._train_plans[0])  # identical on every host by design
+    s2_expected = s2.max_train_steps           # optimizer updates = ceil(batches/accum)
+    assert s2_expected == -(-s2_plan_batches // s2cfg.gradient_accumulation_steps)
+    s2_result = s2.train()
+
     out = {
         "process": proc_id,
         "expected_steps": int(expected_steps),
@@ -85,6 +113,9 @@ def main():
         "epoch_loss": float(result["train/epoch_loss"]),
         "val_loss": float(val_metrics["val/loss"]),
         "last_word_accuracy": float(val_metrics.get("validation/last_word_accuracy", -1)),
+        "s2_expected_steps": int(s2_plan_batches),
+        "s2_actual_steps": int(s2.global_step),
+        "s2_epoch_loss": float(s2_result["train/epoch_loss"]),
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

@@ -63,3 +63,8 @@ def test_two_process_stage1_epoch(tmp_path):
     # the global batch is identical on both hosts -> replicated losses agree exactly
     assert results[0]["epoch_loss"] == results[1]["epoch_loss"]
     assert results[0]["val_loss"] == results[1]["val_loss"]
+    # stage-2 planned bucket feed: plans agree across hosts (QLoRA nf4 base)
+    for r in results:
+        assert r["s2_actual_steps"] == r["s2_expected_steps"] > 0
+        assert np.isfinite(r["s2_epoch_loss"])
+    assert results[0]["s2_epoch_loss"] == results[1]["s2_epoch_loss"]
