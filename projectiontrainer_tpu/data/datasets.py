@@ -141,19 +141,36 @@ class Stage2VQADataset:
         raise RuntimeError("no valid samples in dataset")
 
     def token_lengths(self) -> tuple[np.ndarray, np.ndarray]:
-        """(q_lens, a_lens) for every sample — text tokenization only, no image IO.
+        """(q_lens, a_lens) for every index — text tokenization only, no image IO.
         Feeds the deterministic global bucket plan: every host computes the same plan
-        from the same lengths, so multi-host bucket shapes and batch counts agree."""
+        from the same lengths, so multi-host bucket shapes and batch counts agree.
+
+        Indices whose sample has missing fields get the lengths of the sample
+        ``__getitem__`` would actually substitute (the skip-broken recursion —
+        reference: Stage2/dataset.py:67,80), so the plan matches the fetch. Only
+        image-IO failures discovered at fetch time can still diverge; those are rare,
+        and ``pad_to`` clamps the substitute to the planned bucket."""
         problems = [str(s.get("problem", "")) for s in self.samples]
         answers = [str(s.get("normal_caption", "")) for s in self.samples]
         q = self.tokenizer(
             problems, max_length=self.max_q_len, truncation=True, add_special_tokens=False
         )["input_ids"]
         a = self.tokenizer(answers, max_length=self.max_a_len, truncation=True)["input_ids"]
-        return (
-            np.asarray([len(x) for x in q], np.int32),
-            np.asarray([len(x) for x in a], np.int32),
-        )
+        q_lens = np.asarray([len(x) for x in q], np.int32)
+        a_lens = np.asarray([len(x) for x in a], np.int32)
+        valid = np.asarray([
+            all(s.get(k) for k in ("image", "problem", "normal_caption"))
+            for s in self.samples
+        ])
+        if not valid.all():
+            n = len(self.samples)
+            for i in np.nonzero(~valid)[0]:
+                for attempt in range(1, n):
+                    j = (i + attempt) % n
+                    if valid[j]:
+                        q_lens[i], a_lens[i] = q_lens[j], a_lens[j]
+                        break
+        return q_lens, a_lens
 
 
 class ContrastiveDataset:

@@ -112,6 +112,11 @@ def planned_epoch_batches(
     def local_batches():
         slices = []
         for pb in plan:
+            if len(pb.indices) % pc:
+                raise ValueError(
+                    f"planned global batch {len(pb.indices)} not divisible by "
+                    f"process count {pc}"
+                )
             lbs = len(pb.indices) // pc
             slices.append((pb, pb.indices[pi * lbs:(pi + 1) * lbs], lbs))
         flat = np.concatenate([idx for _, idx, _ in slices]) if slices else np.zeros(0, int)

@@ -146,14 +146,16 @@ class Stage0Trainer:
         """HF-format snapshot under output_dir/<tag> — what the reference's downstream
         consumers (Stage-1 --vision_model_name, the t-SNE epoch sweep, cls_evaluate)
         load with from_pretrained (Stage0/train_vision_encoder_stage0.py:800-835)."""
-        if jax.process_index() != 0:
-            return
         from projectiontrainer_tpu.checkpoint import export
 
+        # collective gather FIRST (TP-sharded params span non-addressable devices on
+        # multi-host; every process must participate), then only rank 0 writes
+        params = jax.tree.map(common.to_host, self.state["params"])
+        if jax.process_index() != 0:
+            return
         src = self.cfg.model_name if os.path.isdir(self.cfg.model_name or "") else None
         export.save_siglip_hf(
-            jax.device_get(self.state["params"]), self.model_cfg,
-            os.path.join(self.cfg.output_dir, tag), src_dir=src,
+            params, self.model_cfg, os.path.join(self.cfg.output_dir, tag), src_dir=src,
         )
 
     # ------------------------------------------------------------------ zero-shot

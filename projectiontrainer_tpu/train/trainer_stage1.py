@@ -192,9 +192,10 @@ class Stage1Trainer:
     # ------------------------------------------------------------------ save
 
     def _export_projector(self, tag: str):
+        # collective gather first (the projector is TP-sharded), then rank 0 writes
+        projector = jax.tree.map(common.to_host, self.state["params"]["projector"])
         if jax.process_index() != 0:
             return
         export.save_projector(
-            jax.device_get(self.state["params"]["projector"]),
-            self.vlm_cfg.projector, self.cfg.output_dir, tag=tag,
+            projector, self.vlm_cfg.projector, self.cfg.output_dir, tag=tag,
         )

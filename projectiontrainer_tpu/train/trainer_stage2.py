@@ -160,7 +160,7 @@ class Stage2Trainer:
                 self.tx = tx
             # device-side loss accumulation; host syncs only at logging boundaries
             loss_sum, n_losses = None, 0
-            visual_tokens = self.vlm_cfg.vision.num_patches - 1
+            visual_tokens = vlm.num_visual_tokens(self.vlm_cfg)
             for batch in self._feed(self.train_dataset, self._train_plans[epoch]):
                 self.profiler.step(self.global_step)
                 b, q_len = batch["question_ids"].shape
@@ -273,9 +273,10 @@ class Stage2Trainer:
 
     def save_checkpoint(self, epoch: int):
         self.ckpt.save_periodic(epoch, self.state, {"epoch": epoch})
+        # collective gather first (TP-sharded leaves span hosts), then rank 0 writes
+        params = jax.tree.map(common.to_host, self.state["params"])
         if jax.process_index() != 0:
             return
-        params = jax.device_get(self.state["params"])
         export.save_stage2_checkpoint(
             self.cfg.output_dir, epoch,
             projector_params=params["projector"], projector_cfg=self.vlm_cfg.projector,

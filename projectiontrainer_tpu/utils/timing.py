@@ -63,7 +63,9 @@ class StepTimer:
             self._images += self._pending_images
             self._tokens += self._pending_tokens
         self._pending_steps = self._pending_images = self._pending_tokens = 0
-        self._t0 = time.perf_counter()
+        # clock restarts at the NEXT count(): time spent between windows (validation,
+        # checkpointing, exports) must not be charged to the next window's steps
+        self._t0 = None
 
     # ---------------------------------------------------- legacy per-step API
     def start(self):
@@ -113,19 +115,25 @@ class StepProfiler:
     def __init__(self, log_dir: Optional[str], *, start_step: int = 10, num_steps: int = 5):
         self.log_dir = log_dir if jax.process_index() == 0 else None
         self.start_step = start_step
-        self.stop_step = start_step + num_steps
+        self.num_steps = num_steps
+        self._stop_at: Optional[int] = None
         self._active = False
+        self._done = False
 
     def step(self, global_step: int):
-        """Call once per train step with the CURRENT step index (before the step runs)."""
-        if not self.log_dir:
+        """Call once per train step with the CURRENT step index (before the step runs).
+        Fires at the first step >= start_step (a resumed run whose restored step is
+        already past start_step still gets its trace) and captures num_steps steps."""
+        if not self.log_dir or self._done:
             return
-        if not self._active and global_step == self.start_step:
+        if not self._active and global_step >= self.start_step:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
-        elif self._active and global_step >= self.stop_step:
+            self._stop_at = global_step + self.num_steps
+        elif self._active and global_step >= self._stop_at:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
 
     def close(self):
         if self._active:

@@ -388,3 +388,23 @@ def test_planned_epoch_batches_shapes_and_weights():
             b["pixel_values"][:, 0, 0, 0], pb.indices.astype(np.float32)
         )
     assert total_real == 10
+
+
+def test_token_lengths_substitute_broken_samples(manifest_dir, tmp_path):
+    """token_lengths applies the same skip-broken substitution as __getitem__, so the
+    global bucket plan matches what the fetch actually returns."""
+    from tests.util import make_word_tokenizer
+
+    root, manifest, samples = manifest_dir
+    samples = list(samples)
+    samples.insert(1, {"image": "img0.jpg", "problem": "", "normal_caption": ""})  # broken
+    ds = datasets.Stage2VQADataset(
+        samples, image_root=root, tokenizer=make_word_tokenizer(), image_size=16,
+        max_q_len=16, max_a_len=16,
+    )
+    q_lens, a_lens = ds.token_lengths()
+    # the broken index reports the lengths of the sample __getitem__ substitutes (idx 2)
+    assert q_lens[1] == q_lens[2] and a_lens[1] == a_lens[2]
+    fetched = ds[1]
+    assert len(fetched["question_ids"]) == q_lens[1]
+    assert len(fetched["answer_ids"]) == a_lens[1]
