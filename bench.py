@@ -134,6 +134,72 @@ def _run_flash_check():
     }
 
 
+def _run_pipeline(steps_n: int):
+    """Host input-pipeline throughput: JPEG decode -> fused augment+preprocess
+    (C++ runtime vs the numpy fallback) in images/sec — the host-side half of the
+    images/sec/chip target (SURVEY §7.3.6: 'won or lost on host decode/augment')."""
+    import io
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    from projectiontrainer_tpu.runtime import native
+
+    rng = np.random.default_rng(0)
+    blobs = []
+    for i in range(16):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, size=(1024, 1024, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=92)
+        blobs.append(buf.getvalue())
+
+    def run(use_native: bool, n: int) -> float:
+        lib = native._get_lib()
+        t0 = time.perf_counter()
+        for i in range(n):
+            img = np.asarray(Image.open(io.BytesIO(blobs[i % len(blobs)])).convert("RGB"))
+            if use_native and lib is not None:
+                native.fused_preprocess(
+                    np.ascontiguousarray(img), 384, flip=bool(i % 2), zoom=1.05,
+                    dx=3.0, dy=-2.0, contrast=1.1,
+                )
+            else:
+                native._fused_fallback(img, 384, bool(i % 2), 1.05, 3.0, -2.0, 1.1,
+                                       1 / 255.0, 0.5, 0.5)
+        return n / (time.perf_counter() - t0)
+
+    def run_draft(n: int) -> float:
+        """decode with JPEG DCT downscaling (data/image.load_image draft_size) + fused."""
+        t0 = time.perf_counter()
+        for i in range(n):
+            im = Image.open(io.BytesIO(blobs[i % len(blobs)]))
+            im.draft("RGB", (384, 384))
+            img = np.asarray(im.convert("RGB"))
+            native.fused_preprocess(
+                np.ascontiguousarray(img), 384, flip=bool(i % 2), zoom=1.05,
+                dx=3.0, dy=-2.0, contrast=1.1,
+            )
+        return n / (time.perf_counter() - t0)
+
+    n = max(steps_n * 8, 32)
+    run(True, 4), run(False, 4), run_draft(4)  # warm caches
+    native_ips = run(True, n)
+    fallback_ips = run(False, n)
+    draft_ips = run_draft(n)
+    return {
+        "metric": "host_pipeline_images_per_sec",
+        "value": round(native_ips, 2),
+        "unit": "images/sec (1024px JPEG decode + fused augment+preprocess to 384)",
+        "extra": (f"native={native_ips:.2f} numpy_fallback={fallback_ips:.2f} "
+                  f"draft_decode={draft_ips:.2f} "
+                  f"(speedups {native_ips / fallback_ips:.2f}x / "
+                  f"{draft_ips / fallback_ips:.2f}x) "
+                  f"native_available={native.native_available()} (single host core)"),
+    }
+
+
 def _build_stage1(batch: int, tiny: bool, remat: bool = True):
     import jax
     import jax.numpy as jnp
@@ -396,7 +462,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--mode", default="stage1",
-        choices=["stage1", "stage1-tiny", "stage2", "stage2-8b", "gen", "flash-check"],
+        choices=["stage1", "stage1-tiny", "stage2", "stage2-8b", "gen", "flash-check",
+                 "pipeline"],
     )
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
@@ -422,9 +489,11 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check"):
+    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check", "pipeline"):
         if args.mode == "flash-check":
             result = _run_flash_check()
+        elif args.mode == "pipeline":
+            result = _run_pipeline(args.steps)
         elif args.mode == "gen":
             result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
                               max_new=args.gen_max_new, beams=args.gen_beams,

@@ -408,3 +408,15 @@ def test_token_lengths_substitute_broken_samples(manifest_dir, tmp_path):
     fetched = ds[1]
     assert len(fetched["question_ids"]) == q_lens[1]
     assert len(fetched["answer_ids"]) == a_lens[1]
+
+
+def test_load_image_draft_decode(manifest_dir):
+    root, _, _ = manifest_dir
+    path = os.path.join(root, "img0.jpg")
+    full = I.load_image(path)
+    draft = I.load_image(path, draft_size=8)
+    assert draft.mode == "RGB"
+    # draft decodes at a reduced JPEG scale (or full size for tiny images)
+    assert draft.size[0] <= full.size[0]
+    # default loader unchanged -> preprocessing parity preserved
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(I.load_image(path)))
