@@ -83,6 +83,23 @@ class CheckpointManager:
         template = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return self._ckptr.restore(path, template)
 
+    def restore_params(self, name: str, params_template=None) -> Any:
+        """Restore ONLY the params subtree of a saved state — evaluators don't carry
+        the optimizer-state template the trainer had (the reference's evaluators
+        likewise rebuild from the checkpoint alone — evaluate_experiment.py:88-114).
+        The full-state template is built from the checkpoint's own on-disk metadata,
+        so any optimizer layout restores; ``params_template`` is unused but kept for
+        call-site clarity."""
+        del params_template
+        path = os.path.join(self.directory, name)
+        meta = self._ckptr.metadata(path).item_metadata.tree
+
+        def to_struct(m):
+            return jax.ShapeDtypeStruct(tuple(m.shape), np.dtype(str(m.dtype)))
+
+        template = jax.tree.map(to_struct, meta)
+        return self._ckptr.restore(path, template)["params"]
+
     def latest_epoch(self) -> Optional[int]:
         epochs = []
         for d in os.listdir(self.directory):

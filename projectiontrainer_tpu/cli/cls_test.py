@@ -40,32 +40,35 @@ def main(argv=None):
 
     orbax_dir = os.path.join(args.exp_dir, "orbax")
     with open(os.path.join(orbax_dir, f"{args.checkpoint}_metadata.json")) as f:
-        cfg = ClsConfig(**json.loads(json.load(f)["config"]))
+        meta = json.load(f)
+    cfg = ClsConfig(**json.loads(meta["config"]))
     names = cfg.effective_class_names()
 
     from projectiontrainer_tpu.models import siglip
 
-    vcfg = siglip.VisionConfig(
-        hidden_size=args.vision_hidden, intermediate_size=args.vision_hidden * 4,
-        num_layers=args.vision_layers, num_heads=args.vision_heads,
-        image_size=args.img_size, patch_size=args.patch_size, use_head=False,
-    )
-    model_cfg = cls_model.ClassifierConfig(
-        vision=vcfg, num_classes=len(names), dropout_rate=0.0
-    )
+    if "model_config" in meta:
+        # reconstruct the model from the architecture embedded at save time — the
+        # reference's vars(args)-in-checkpoint pattern (cls_evaluate/train_utils.py:363,
+        # evaluate_experiment.py:88-114); CLI flags are only the legacy fallback
+        mc = meta["model_config"]
+        vcfg = siglip.VisionConfig(**mc["vision"])
+        model_cfg = cls_model.ClassifierConfig(
+            vision=vcfg, num_classes=mc["num_classes"],
+            num_heads=mc.get("num_heads", 16), dropout_rate=0.0,
+        )
+    else:
+        vcfg = siglip.VisionConfig(
+            hidden_size=args.vision_hidden, intermediate_size=args.vision_hidden * 4,
+            num_layers=args.vision_layers, num_heads=args.vision_heads,
+            image_size=args.img_size, patch_size=args.patch_size, use_head=False,
+        )
+        model_cfg = cls_model.ClassifierConfig(
+            vision=vcfg, num_classes=len(names), dropout_rate=0.0
+        )
     params = cls_model.init(jax.random.key(0), model_cfg)
     mgr = CheckpointManager(orbax_dir)
-    import optax
-
-    state = {"params": params, "opt_state": optax.set_to_zero().init(params),
-             "step": np.zeros((), np.int32)}
-    try:
-        state = mgr.restore(args.checkpoint, state)
-    except Exception:
-        # opt_state structure may differ; restore params-only via a trimmed template
-        state = {"params": mgr.restore(args.checkpoint, {"params": params})["params"],
-                 "opt_state": None, "step": 0}
-    params = state["params"]
+    # params-only restore: the evaluator has no optimizer-state template
+    params = mgr.restore_params(args.checkpoint, params)
 
     ds = datasets.ClassificationDataset(
         datasets.load_manifest(args.test_json), image_root=args.image_root,
