@@ -87,49 +87,56 @@ def _run_flash_check():
 
     from projectiontrainer_tpu.ops.attention import dot_product_attention
 
-    b, t, hq, hkv, d = 4, 1087, 4, 1, 256
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
-    mask = np.ones((b, t), np.int32)
-    mask[0, :64] = 0  # padding on one row exercises the kv-mask path
-    mask = jnp.asarray(mask)
-    cot = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
-
-    def make(impl):
-        def loss(q, k, v):
-            out = dot_product_attention(
-                q, k, v, scale=d ** -0.5, causal=True, kv_mask=mask, impl=impl
-            )
-            return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32)), out
-
-        return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
-
-    (_, out_f), g_f = make("flash")(q, k, v)
-    (_, out_x), g_x = make("xla")(q, k, v)
-
     def reldiff(a, b):
         """max|a-b| scaled by the reference tensor's max|b| — bf16 outputs of a
-        1087-position reduction have O(10-100) magnitudes, so absolute diffs alone
+        long-reduction attention have O(10-100) magnitudes, so absolute diffs alone
         are meaningless."""
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
         return float(jnp.max(jnp.abs(a - b)) / jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
 
-    diffs = {
-        "fwd": reldiff(out_f, out_x),
-        "dq": reldiff(g_f[0], g_x[0]),
-        "dk": reldiff(g_f[1], g_x[1]),
-        "dv": reldiff(g_f[2], g_x[2]),
-    }
+    def check(tag, *, b, t, hq, hkv, d, causal, masked):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(b, t, hkv, d)), jnp.bfloat16)
+        mask = None
+        if masked:
+            m = np.ones((b, t), np.int32)
+            m[0, :64] = 0  # padding on one row exercises the kv-mask path
+            mask = jnp.asarray(m)
+        cot = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.bfloat16)
+
+        def make(impl):
+            def loss(q, k, v):
+                out = dot_product_attention(
+                    q, k, v, scale=d ** -0.5, causal=causal, kv_mask=mask, impl=impl
+                )
+                return jnp.sum(out.astype(jnp.float32) * cot.astype(jnp.float32)), out
+
+            return jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True))
+
+        (_, out_f), g_f = make("flash")(q, k, v)
+        (_, out_x), g_x = make("xla")(q, k, v)
+        return {
+            f"{tag}/fwd": reldiff(out_f, out_x),
+            f"{tag}/dq": reldiff(g_f[0], g_x[0]),
+            f"{tag}/dk": reldiff(g_f[1], g_x[1]),
+            f"{tag}/dv": reldiff(g_f[2], g_x[2]),
+        }
+
+    diffs = {}
+    # decoder shape: 575 visual + 512 caption, GQA 4/1, D=256 (Gemma3-1B), causal
+    diffs.update(check("llm", b=4, t=1087, hq=4, hkv=1, d=256, causal=True, masked=True))
+    # vision tower shape: 576 patches, 16 heads, D=64 (ViT-L/16-384), bidirectional
+    diffs.update(check("vit", b=4, t=576, hq=16, hkv=16, d=64, causal=False, masked=False))
     worst = max(diffs.values())
     import jax as _jax
 
     return {
         "metric": "flash_attention_max_rel_diff_vs_xla",
         "value": worst,
-        "unit": f"max|Δ|/max|ref| bf16 (fwd+grads, {b}x{t} GQA{hq}/{hkv} D{d})",
+        "unit": "max|Δ|/max|ref| bf16 (fwd+grads; causal GQA LLM + bidirectional ViT shapes)",
         "extra": f"backend={_jax.default_backend()} diffs={diffs} pass={worst < 2e-2}",
     }
 

@@ -79,11 +79,14 @@ def main(argv=None):
     results = []
     for i in range(0, len(samples), args.batch_size):
         chunk = [dict(s, problem=args.prompt) for s in samples[i:i + args.batch_size]]
+        n_real = len(chunk)
+        if n_real < args.batch_size and len(samples) > args.batch_size:
+            chunk = chunk + [chunk[-1]] * (args.batch_size - n_real)  # keep batch static
         answers = answer_batch(
             chunk, vlm_cfg, params, tokenizer, image_root=args.image_root,
             image_root_2=args.image_root_2, img_size=args.img_size,
             max_q_len=args.max_q_len, gen_cfg=gen_cfg,
-        )
+        )[:n_real]
         for s, a in zip(samples[i:i + args.batch_size], answers):
             results.append({**s, "generated_answer": a})
 

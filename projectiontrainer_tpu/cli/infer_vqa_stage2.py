@@ -72,9 +72,15 @@ def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_
                   add_special_tokens=False)["input_ids"]
         for s in samples
     ]
-    q_len = max(len(q) for q in q_tok)
+    # pad the question to a BUCKET, not the batch max: a per-batch dynamic length
+    # recompiles the whole generate graph for every distinct value (minutes each on
+    # TPU); the bucket grid bounds compilation count like the training feed
+    from projectiontrainer_tpu.data.bucketing import DEFAULT_Q_BUCKETS, bucket_for
+
+    q_len = min(bucket_for(max(len(q) for q in q_tok), DEFAULT_Q_BUCKETS), max_q_len)
     q_ids = np.full((len(samples), q_len), pad, np.int32)
     for i, q in enumerate(q_tok):  # left padding: last slot is the last question token
+        q = q[:q_len]
         q_ids[i, q_len - len(q):] = q
 
     visual = vlm.visual_embeds(params, vlm_cfg, jnp.asarray(pixels))
@@ -129,13 +135,18 @@ def main(argv=None):
     results, latencies = [], []
     for i in range(0, len(samples), args.batch_size):
         chunk = samples[i:i + args.batch_size]
+        n_real = len(chunk)
+        if n_real < args.batch_size and len(samples) > args.batch_size:
+            # pad the straggler chunk to the compiled batch shape (one less recompile)
+            chunk = chunk + [chunk[-1]] * (args.batch_size - n_real)
         t0 = time.perf_counter()
         answers = answer_batch(
             chunk, vlm_cfg, params, tokenizer, image_root=args.image_root,
             image_root_2=args.image_root_2, img_size=args.img_size,
             max_q_len=args.max_q_len, gen_cfg=gen_cfg,
-        )
-        latencies.append((time.perf_counter() - t0) / len(chunk))
+        )[:n_real]
+        chunk = chunk[:n_real]
+        latencies.append((time.perf_counter() - t0) / n_real)
         for s, a in zip(chunk, answers):
             results.append({**s, "generated_answer": a})
         logger.info("processed %d/%d", min(i + args.batch_size, len(samples)), len(samples))
