@@ -4,7 +4,7 @@ Modes (all on production shapes — SigLIP ViT-L/16-384 tower, 1024->10240->1152
 Gemma3-1B-shape decoder with 262k vocab — synthetic data, Pallas flash attention):
 
 - ``stage1`` (default, driver-recorded): projector-alignment train step ->
-  images/sec/chip + MFU (frozen bf16 towers + stop-gradient masks, chunked CE).
+  images/sec/chip + MFU (frozen bf16 towers + stop-gradient masks, fused CE).
 - ``stage2``: QLoRA VQA train step (575 visual + 256 q + 1024 a bucket) -> tokens/sec.
 - ``stage2-8b``: same at the Qwen3-8B shape (int8 base) the reference actually trains.
 - ``gen``: KV-cache generation at the REFERENCE inference config (1024 new tokens,
@@ -141,6 +141,67 @@ def _run_flash_check():
     }
 
 
+def _run_ce_check():
+    """Numerically validate the Mosaic-compiled fused linear+CE kernel
+    (ops/fused_ce.py) against the chunked XLA path ON THIS backend at the Stage-1
+    production shape (B=8, 575 visual + 512 caption = 1087 tokens, Gemma3's 262k
+    vocab), loss + hidden-grad, and record the per-call speedup. Same rationale as
+    flash-check: interpret-mode CPU tests never exercise the Mosaic compile."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.train import losses
+
+    B, T, D, V = 8, 1087, 1152, 262144
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)) * 0.5, jnp.bfloat16)
+    table = jnp.asarray(rng.normal(size=(V, D)) * 0.02, jnp.bfloat16)
+    labels = np.asarray(rng.integers(0, V, size=(B, T)))
+    labels[:, :575] = -100  # visual-prefix ignore block
+    labels = jnp.asarray(labels)
+
+    @jax.jit
+    def chunked(h, w, l):
+        return jax.value_and_grad(
+            lambda hh: losses.chunked_shifted_clm_loss(hh, w, l, chunk_size=256)[0]
+        )(h)
+
+    @jax.jit
+    def fused(h, w, l):
+        return jax.value_and_grad(
+            lambda hh: losses.fused_shifted_clm_loss(hh, w, l)[0]
+        )(h)
+
+    def run(f, n=8):
+        loss, grad = f(hidden, table, labels)
+        float(loss)  # sync (compile + first run)
+        t0 = time.perf_counter()
+        outs = [f(hidden, table, labels) for _ in range(n)]
+        float(outs[-1][0])  # one sync for the batch: amortizes tunnel latency
+        return loss, grad, (time.perf_counter() - t0) / n * 1e3
+
+    l_c, g_c, ms_c = run(chunked)
+    l_f, g_f, ms_f = run(fused)
+    loss_rel = abs(float(l_f) - float(l_c)) / abs(float(l_c))
+    ga = np.asarray(g_c.astype(jnp.float32))
+    gb = np.asarray(g_f.astype(jnp.float32))
+    grad_rel = float(np.max(np.abs(ga - gb)) / max(np.max(np.abs(ga)), 1e-9))
+    worst = max(loss_rel, grad_rel)
+    return {
+        "metric": "fused_ce_max_rel_diff_vs_chunked",
+        "value": worst,
+        "unit": "max rel diff bf16 (loss + dhidden)",
+        "extra": (
+            f"backend={jax.default_backend()} loss_rel={loss_rel:.2e} "
+            f"grad_rel={grad_rel:.2e} fused={ms_f:.1f}ms chunked={ms_c:.1f}ms "
+            f"speedup={ms_c / ms_f:.2f}x pass={worst < 2e-2}"
+        ),
+    }
+
+
 def _run_pipeline(steps_n: int):
     """Host input-pipeline throughput: JPEG decode -> fused augment+preprocess
     (C++ runtime vs the numpy fallback) in images/sec — the host-side half of the
@@ -207,7 +268,7 @@ def _run_pipeline(steps_n: int):
     }
 
 
-def _build_stage1(batch: int, tiny: bool, remat: bool = True):
+def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str = "none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -240,11 +301,20 @@ def _build_stage1(batch: int, tiny: bool, remat: bool = True):
         image = vis.image_size
 
     rng = jax.random.key(0)
-    # frozen towers in bf16 (they take no optimizer state), projector fp32
+    # frozen towers in bf16 (they take no optimizer state), projector fp32.
+    # quant_method != none quantizes the frozen LLM — the reference ALSO QLoRA-loads
+    # the frozen Stage-1 LLM in 4-bit (Stage1/train_projection_stage1.py:192-210), and
+    # on TPU it halves/quarters the dominant HBM weight traffic of the frozen fwd+bwd.
+    if quant_method != "none" and not tiny:
+        from projectiontrainer_tpu.testing import synthetic_quantized_decoder
+
+        llm_params = synthetic_quantized_decoder(cfg.llm, seed=2, method=quant_method)
+    else:
+        llm_params = dec.init(jax.random.fold_in(rng, 2), cfg.llm, jnp.bfloat16)
     params = {
         "vision": siglip.init_vision(jax.random.fold_in(rng, 0), cfg.vision, jnp.bfloat16),
         "projector": proj.init(jax.random.fold_in(rng, 1), cfg.projector, jnp.float32),
-        "llm": dec.init(jax.random.fold_in(rng, 2), cfg.llm, jnp.bfloat16),
+        "llm": llm_params,
     }
 
     labels = masks.stage1_labels(params)
@@ -395,7 +465,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
         "mfu": round(mfu, 4),
         "extra": (f"model={model} quant={quant_method} batch={batch} "
                   f"loss={float(loss):.3f} step={elapsed / steps_n * 1e3:.0f}ms "
-                  f"mfu={mfu:.1%} eval_step={eval_ms:.0f}ms (chunked CE, no OOM)"),
+                  f"mfu={mfu:.1%} eval_step={eval_ms:.0f}ms (memory-safe CE, no OOM)"),
     }
 
 
@@ -470,7 +540,7 @@ def main(argv=None):
     parser.add_argument(
         "--mode", default="stage1",
         choices=["stage1", "stage1-tiny", "stage2", "stage2-8b", "gen", "flash-check",
-                 "pipeline"],
+                 "ce-check", "pipeline"],
     )
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
@@ -496,9 +566,12 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check", "pipeline"):
+    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check", "ce-check",
+                     "pipeline"):
         if args.mode == "flash-check":
             result = _run_flash_check()
+        elif args.mode == "ce-check":
+            result = _run_ce_check()
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps)
         elif args.mode == "gen":
@@ -521,7 +594,9 @@ def main(argv=None):
     batch = args.batch if not tiny else 4
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
-    step, state, batch_data = _build_stage1(batch, tiny, remat=remat)
+    step, state, batch_data = _build_stage1(
+        batch, tiny, remat=remat, quant_method=args.quant or "none"
+    )
     flops = _step_flops(step, state, batch_data, jax.random.key(0))
 
     # warmup (includes compile); float() forces a device->host readback — the only

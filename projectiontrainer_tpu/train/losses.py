@@ -76,9 +76,13 @@ def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 1
         ) * logits_scale
         valid = lbl != IGNORE_INDEX
         safe = jnp.where(valid, lbl, 0)
-        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
-        token_loss = jnp.where(valid, -ll, 0.0)
+        # ll = logit[label] - LSE(logits): avoids materializing the full [B,chunk,V]
+        # fp32 logprobs tensor that log_softmax would write back to HBM (at V=262k the
+        # loss is HBM-bound; this is one fewer full write+read per chunk)
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+        token_loss = jnp.where(valid, lse - picked, 0.0)
         valid_f = valid.astype(jnp.float32)
         if w is not None:
             token_loss = token_loss * w
@@ -88,6 +92,37 @@ def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 1
 
     (loss_sum, count), _ = jax.lax.scan(chunk_fn, (0.0, 0.0), (hidden, labels))
     return loss_sum / jnp.maximum(count, 1e-9), count.astype(jnp.int32)
+
+
+def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float = 1.0,
+                           sample_weights=None, interpret: bool = False):
+    """Shifted CLM loss via the Pallas fused linear+CE kernel (ops/fused_ce.py).
+
+    Same semantics as :func:`chunked_shifted_clm_loss` (shift, -100 masked mean,
+    optional per-sample weights) but the [tokens, V] logits never reach HBM — on v5e
+    this roughly halves the loss+lm-head cost at Gemma3's 262k vocab.
+
+    REQUIRES a frozen ``embed_table`` (its gradient is hard zero — the kernel contract;
+    true for Stage 1's fully-frozen LLM and Stage 2's LoRA adapters). Trainers that
+    unfreeze the embedding must use the chunked path.
+    """
+    b, t, d = hidden.shape
+    hidden = hidden[:, :-1, :].reshape(b * (t - 1), d)
+    labels = labels[:, 1:]
+    valid = labels != IGNORE_INDEX
+    safe = jnp.where(valid, labels, 0).reshape(-1)
+
+    from projectiontrainer_tpu.ops.fused_ce import fused_clm_token_nll
+
+    nll = fused_clm_token_nll(hidden, embed_table, safe, logits_scale, interpret)
+    token_loss = jnp.where(valid, nll.reshape(b, t - 1), 0.0)
+    valid_f = valid.astype(jnp.float32)
+    if sample_weights is not None:
+        w = sample_weights.astype(jnp.float32)[:, None]
+        token_loss = token_loss * w
+        valid_f = valid_f * w
+    count = valid_f.sum()
+    return token_loss.sum() / jnp.maximum(count, 1e-9), count.astype(jnp.int32)
 
 
 def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None):

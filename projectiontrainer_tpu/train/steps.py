@@ -90,13 +90,28 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 # ---------------------------------------------------------------------------- stage 1
 
 
+def _resolve_ce_impl(ce_impl: str, table_frozen: bool) -> str:
+    """'auto' picks the Pallas fused linear+CE kernel on TPU when the vocab table is
+    frozen (its kernel contract — ops/fused_ce.py), else the chunked XLA scan."""
+    if ce_impl != "auto":
+        return ce_impl
+    if table_frozen and jax.default_backend() == "tpu":
+        return "fused"
+    return "chunked"
+
+
 def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
                           remat: bool, logits_chunk: Optional[int], lora=None,
-                          lora_cfg=None, sample_weights=None):
+                          lora_cfg=None, sample_weights=None, ce_impl: str = "chunked"):
     hidden, _ = dec.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
         remat=remat, lora=lora, lora_cfg=lora_cfg,
     )
+    if logits_chunk and ce_impl == "fused":
+        table = dec.lm_head_table(params["llm"], cfg.llm)
+        return losses.fused_shifted_clm_loss(
+            hidden, table, labels, sample_weights=sample_weights
+        )
     if logits_chunk:
         table = dec.lm_head_table(params["llm"], cfg.llm)
         return losses.chunked_shifted_clm_loss(
@@ -107,10 +122,13 @@ def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
 
 
 def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
-                logits_chunk: Optional[int] = None):
+                logits_chunk: Optional[int] = None, ce_impl: str = "auto"):
     """[visual; caption] CLM loss (reference: Stage1/projector_trainer.py:160-233).
     batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions).
-    ``logits_chunk`` switches to the memory-efficient chunked CE (large-vocab models)."""
+    ``logits_chunk`` switches to the memory-efficient chunked CE (large-vocab models);
+    ``ce_impl`` 'auto' upgrades it to the Pallas fused kernel on TPU (the Stage-1 LLM —
+    including the vocab table — is always frozen, so the fused contract holds)."""
+    impl = _resolve_ce_impl(ce_impl, table_frozen=True)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -121,7 +139,7 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
         )
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
-            sample_weights=batch.get("sample_weight"),
+            sample_weights=batch.get("sample_weight"), ce_impl=impl,
         )
         return loss, {"tokens": n_tok}
 
@@ -132,10 +150,19 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
 
 
 def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
-                remat: bool = True, logits_chunk: Optional[int] = None):
+                remat: bool = True, logits_chunk: Optional[int] = None,
+                ce_impl: str = "auto", table_frozen: Optional[bool] = None):
     """[visual; question; answer] answer-masked CLM loss (reference:
     Stage2/trainer.py:306-418). batch: {'pixel_values', 'question_ids', 'answer_ids'}
-    (bucketed static shapes). LoRA adapters, when configured, live at params['lora']."""
+    (bucketed static shapes). LoRA adapters, when configured, live at params['lora'].
+
+    ``table_frozen`` gates the Pallas fused-CE upgrade under ``ce_impl='auto'``: LoRA
+    runs never train the embedding (reference adapter targets exclude it), so it
+    defaults to ``lora_cfg is not None``; a full-LLM fine-tune keeps the chunked path.
+    Trainers that freeze the LLM without LoRA may pass ``table_frozen=True``."""
+    if table_frozen is None:
+        table_frozen = lora_cfg is not None
+    impl = _resolve_ce_impl(ce_impl, table_frozen=table_frozen)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -148,6 +175,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
             lora=lora, lora_cfg=lora_cfg, sample_weights=batch.get("sample_weight"),
+            ce_impl=impl,
         )
         return loss, {"tokens": n_tok}
 

@@ -1,0 +1,70 @@
+"""Parity of the Pallas fused linear+CE kernel (ops/fused_ce.py) vs the chunked XLA
+path — fwd loss and hidden-gradients, incl. -100 masking, sample weights, and a vocab
+size that does not divide the kernel's vocab tile (the masked-tail path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from projectiontrainer_tpu.train import losses
+
+
+def _data(b=2, t=18, d=128, v=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    hidden = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32) * 0.05)
+    labels = rng.integers(0, v, size=(b, t))
+    labels[0, :5] = -100  # visual-prefix style ignore block
+    labels[-1, -3:] = -100
+    return hidden, table, jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("weights", [None, np.array([1.0, 0.0])])
+def test_fused_matches_chunked_fwd_and_grad(weights):
+    hidden, table, labels = _data()
+    w = None if weights is None else jnp.asarray(weights, jnp.float32)
+
+    def chunked(h):
+        return losses.chunked_shifted_clm_loss(
+            h, table, labels, chunk_size=7, sample_weights=w
+        )[0]
+
+    def fused(h):
+        return losses.fused_shifted_clm_loss(
+            h, table, labels, sample_weights=w, interpret=True
+        )[0]
+
+    l_ref, g_ref = jax.value_and_grad(chunked)(hidden)
+    l_fused, g_fused = jax.value_and_grad(fused)(hidden)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=2e-4, atol=2e-6
+    )
+
+
+def test_fused_count_matches():
+    hidden, table, labels = _data(seed=1)
+    _, n_ref = losses.chunked_shifted_clm_loss(hidden, table, labels, chunk_size=16)
+    _, n_fused = losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True)
+    assert int(n_ref) == int(n_fused)
+
+
+def test_fused_table_grad_is_contract_zero():
+    """The frozen-table contract: the table cotangent is hard zero (callers must keep
+    the vocab table frozen — documented in ops/fused_ce.py)."""
+    hidden, table, labels = _data(b=1, t=9, v=512, seed=2)
+
+    def f(tab):
+        return losses.fused_shifted_clm_loss(hidden, tab, labels, interpret=True)[0]
+
+    g = jax.grad(f)(table)
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_fused_vocab_tile_exact_multiple():
+    """V an exact multiple of the vocab tile exercises the no-padding branch."""
+    hidden, table, labels = _data(v=1024, seed=3)
+    l_ref, _ = losses.chunked_shifted_clm_loss(hidden, table, labels, chunk_size=8)
+    l_fused, _ = losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-5)
