@@ -268,6 +268,77 @@ def _run_pipeline(steps_n: int):
     }
 
 
+def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False):
+    """Stage-0 SigLIP contrastive fine-tune throughput at the reference's production
+    config: google/siglip2-so400m-patch16-512 shape (27 layers, hidden 1152, 512px ->
+    1024 patches), per-device batch 16, text tower + logit_scale frozen, bf16 compute
+    with fp32 vision masters (Stage0/run_train_vision_encoder_stage0.sh:13-48)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.models import siglip
+    from projectiontrainer_tpu.train import masks, optim, steps
+
+    cfg = siglip.SiglipConfig(
+        vision=siglip.so400m_16_512(),
+        # siglip2-so400m text tower: same width/depth as vision, 256k multilingual
+        # vocab, 64 positions
+        text=siglip.TextConfig(hidden_size=1152, intermediate_size=4304, num_layers=27,
+                               num_heads=16, vocab_size=256_000,
+                               max_position_embeddings=64),
+    )
+    rng = jax.random.key(0)
+    kv, kt = jax.random.split(rng)
+    # trained vision tower: fp32 masters (optimizer state); frozen text tower bf16
+    params = {
+        "vision": siglip.init_vision(kv, cfg.vision, jnp.float32),
+        "text": siglip.init_text(kt, cfg.text, jnp.bfloat16),
+        "logit_scale": jnp.asarray([np.log(10.0)], jnp.float32),
+        "logit_bias": jnp.asarray([-10.0], jnp.float32),
+    }
+    labels = masks.stage0_labels(params, freeze_text=True, freeze_logit_scale=True)
+    tx, _ = optim.single_group_optimizer(labels, 5e-5, total_steps=1000,
+                                         warmup_ratio=0.1)
+    loss_fn = steps.stage0_loss(cfg, remat=remat, compute_dtype=jnp.bfloat16)
+    step = steps.make_train_step(loss_fn, tx, donate=True,
+                                 trainable_mask=masks.bool_mask(labels))
+    state = steps.init_state(params, tx)
+
+    nprng = np.random.default_rng(0)
+    image = cfg.vision.image_size
+    batch_data = {
+        "pixel_values": jnp.asarray(
+            nprng.normal(size=(batch, image, image, 3)).astype(np.float32),
+            dtype=jnp.bfloat16,
+        ),
+        "input_ids": jnp.asarray(
+            nprng.integers(1, cfg.text.vocab_size, size=(batch, 64))
+        ),
+    }
+    flops = _step_flops(step, state, batch_data, jax.random.key(0))
+    for i in range(warmup):
+        state, loss, _ = step(state, batch_data, jax.random.key(i))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps_n):
+        state, loss, _ = step(state, batch_data, jax.random.key(100 + i))
+        float(loss)  # per-step sync: the tunneled runtime has no true async wait
+    elapsed = time.perf_counter() - t0
+    step_s = elapsed / steps_n
+    n_chips = len(jax.devices())
+    mfu = _mfu(flops, step_s, n_chips)
+    return {
+        "metric": "stage0_contrastive_images_per_sec_per_chip",
+        "value": round(batch / step_s / n_chips, 3),
+        "unit": "images/sec/chip",
+        "mfu": round(mfu, 4),
+        "extra": (f"batch={batch} so400m-16-512 step={step_s * 1e3:.0f}ms "
+                  f"mfu={mfu:.1%} loss={float(loss):.4f} remat={remat} (frozen text "
+                  f"tower, bf16 compute / fp32 vision masters)"),
+    }
+
+
 def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str = "none"):
     import jax
     import jax.numpy as jnp
@@ -539,8 +610,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--mode", default="stage1",
-        choices=["stage1", "stage1-tiny", "stage2", "stage2-8b", "gen", "flash-check",
-                 "ce-check", "pipeline"],
+        choices=["stage0", "stage1", "stage1-tiny", "stage2", "stage2-8b", "gen",
+                 "flash-check", "ce-check", "pipeline"],
     )
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
@@ -566,12 +637,20 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    if args.mode in ("stage2", "stage2-8b", "gen", "flash-check", "ce-check",
+    if args.mode in ("stage0", "stage2", "stage2-8b", "gen", "flash-check", "ce-check",
                      "pipeline"):
         if args.mode == "flash-check":
             result = _run_flash_check()
         elif args.mode == "ce-check":
             result = _run_ce_check()
+        elif args.mode == "stage0":
+            # the global --batch default (8) is stage-1's; stage-0's reference
+            # per-device batch is 16. --remat full/dots enables vision-tower remat
+            # (needed for batch >= 32); the stage-0 default is none.
+            remat0 = {"full": True, "dots": "dots", "none": False}[args.remat] \
+                if "--remat" in (argv or sys.argv[1:]) else False
+            result = _run_stage0(16 if args.batch == 8 else args.batch,
+                                 args.steps, args.warmup, remat=remat0)
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps)
         elif args.mode == "gen":

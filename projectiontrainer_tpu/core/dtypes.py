@@ -14,6 +14,28 @@ import jax
 import jax.numpy as jnp
 
 
+# Quantized-linear scale tensors must stay fp32: bitsandbytes keeps NF4 block scales
+# in fp32 and a bf16 scale visibly degrades dequantization accuracy (ops/quant.py).
+_KEEP_F32_KEYS = frozenset({"scales", "block_scales"})
+
+
+def cast_compute_params(tree, compute_dtype):
+    """Cast floating leaves of a params pytree to ``compute_dtype``, leaving quantized
+    scale tensors (and all integer storage) untouched. Under autodiff the cast is the
+    standard mixed-precision recipe: cotangents flow back through ``astype`` and
+    accumulate into the original (fp32 master) leaves."""
+    def _cast(path, x):
+        last = path[-1]
+        key = getattr(last, "key", None)
+        if key in _KEEP_F32_KEYS:
+            return x
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(compute_dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(_cast, tree)
+
+
 @dataclasses.dataclass(frozen=True)
 class DTypePolicy:
     param_dtype: jnp.dtype = jnp.float32
@@ -22,11 +44,7 @@ class DTypePolicy:
 
     def cast_compute(self, tree):
         """Cast floating leaves of a pytree to the compute dtype."""
-        def _cast(x):
-            if jnp.issubdtype(x.dtype, jnp.floating):
-                return x.astype(self.compute_dtype)
-            return x
-        return jax.tree.map(_cast, tree)
+        return cast_compute_params(tree, self.compute_dtype)
 
     def cast_param(self, tree):
         def _cast(x):

@@ -245,11 +245,14 @@ def text_forward(params, cfg: TextConfig, input_ids):
     return x, pooled
 
 
-def forward_contrastive(params, cfg: SiglipConfig, pixel_values, input_ids):
+def forward_contrastive(params, cfg: SiglipConfig, pixel_values, input_ids,
+                        *, remat: bool = False):
     """Full dual-tower forward -> (image_embeds, text_embeds, logit_scale, logit_bias).
     Embeds are the raw pooled outputs (normalization happens inside the loss, matching
-    the reference's siglip_loss at Stage0/train_vision_encoder_stage0.py:260-269)."""
-    _, img = vision_forward(params["vision"], cfg.vision, pixel_values)
+    the reference's siglip_loss at Stage0/train_vision_encoder_stage0.py:260-269).
+    ``remat`` checkpoints the vision encoder layers (the tower that trains — and at
+    512px/1024 patches the activation-memory hog; the frozen text fwd is cheap)."""
+    _, img = vision_forward(params["vision"], cfg.vision, pixel_values, remat=remat)
     _, txt = text_forward(params["text"], cfg.text, input_ids)
     return img, txt, params["logit_scale"], params["logit_bias"]
 

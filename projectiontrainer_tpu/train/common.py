@@ -17,6 +17,18 @@ def mesh_from_config(cfg: CommonConfig):
     return build_mesh(MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model))
 
 
+def compute_dtype_from_config(cfg: CommonConfig):
+    """``--mixed_precision {bf16,fp16,no}`` -> the compute dtype the loss casts params
+    to (reference: accelerate --mixed_precision, e.g. Stage2/run_vqa_train_stage2.sh:73).
+    fp16 maps to bf16 (TPU-native; documented fidelity delta). 'no' returns None: the
+    loss computes in the params' own dtype."""
+    import jax.numpy as jnp
+
+    if cfg.mixed_precision in ("bf16", "fp16"):
+        return jnp.bfloat16
+    return None
+
+
 def global_batch_size(cfg: CommonConfig, mesh) -> int:
     """Reference semantics: ``batch_size`` is per-device; effective batch =
     batch x world x accum (reference: accelerator_setup.py:31)."""

@@ -19,6 +19,7 @@ import optax
 from projectiontrainer_tpu.models import decoder as dec
 from projectiontrainer_tpu.models import siglip, vlm
 from projectiontrainer_tpu.models import classifier as cls_model
+from projectiontrainer_tpu.core import dtypes
 from projectiontrainer_tpu.train import losses
 
 
@@ -122,16 +123,22 @@ def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
 
 
 def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
-                logits_chunk: Optional[int] = None, ce_impl: str = "auto"):
+                logits_chunk: Optional[int] = None, ce_impl: str = "auto",
+                compute_dtype=None):
     """[visual; caption] CLM loss (reference: Stage1/projector_trainer.py:160-233).
     batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions).
     ``logits_chunk`` switches to the memory-efficient chunked CE (large-vocab models);
     ``ce_impl`` 'auto' upgrades it to the Pallas fused kernel on TPU (the Stage-1 LLM —
-    including the vocab table — is always frozen, so the fused contract holds)."""
+    including the vocab table — is always frozen, so the fused contract holds).
+    ``compute_dtype`` (trainers pass bf16 from ``--mixed_precision``) casts params to
+    the compute dtype inside the loss — fp32 masters, bf16 MXU matmuls. None = compute
+    in the params' own dtype (exact-parity mode for tests)."""
     impl = _resolve_ce_impl(ce_impl, table_frozen=True)
 
     def loss_fn(params, batch, rng):
         del rng
+        if compute_dtype is not None:
+            params = dtypes.cast_compute_params(params, compute_dtype)
         visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
@@ -151,7 +158,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
 
 def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
                 remat: bool = True, logits_chunk: Optional[int] = None,
-                ce_impl: str = "auto", table_frozen: Optional[bool] = None):
+                ce_impl: str = "auto", table_frozen: Optional[bool] = None,
+                compute_dtype=None):
     """[visual; question; answer] answer-masked CLM loss (reference:
     Stage2/trainer.py:306-418). batch: {'pixel_values', 'question_ids', 'answer_ids'}
     (bucketed static shapes). LoRA adapters, when configured, live at params['lora'].
@@ -166,6 +174,8 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
 
     def loss_fn(params, batch, rng):
         del rng
+        if compute_dtype is not None:
+            params = dtypes.cast_compute_params(params, compute_dtype)
         visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
@@ -186,7 +196,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
 
 
 def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
-                local_negatives_shards: int = 1):
+                local_negatives_shards: int = 1, compute_dtype=None):
     """SigLIP sigmoid pairwise loss on the full dual tower (reference:
     Stage0/train_vision_encoder_stage0.py:661-689). batch: {'pixel_values', 'input_ids'}.
 
@@ -201,8 +211,10 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
 
     def loss_fn(params, batch, rng):
         del rng
+        if compute_dtype is not None:
+            params = dtypes.cast_compute_params(params, compute_dtype)
         img, txt, scale, bias = siglip.forward_contrastive(
-            params, cfg, batch["pixel_values"], batch["input_ids"]
+            params, cfg, batch["pixel_values"], batch["input_ids"], remat=remat
         )
         if local_negatives_shards > 1:
             b = img.shape[0]
@@ -224,11 +236,13 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
 
 
 def classifier_loss(cfg: cls_model.ClassifierConfig, *, multilabel: bool = False,
-                    t_p: float = 4.0, t_n: float = 1.0):
+                    t_p: float = 4.0, t_n: float = 1.0, compute_dtype=None):
     """cls_evaluate probe loss: softmax CE (train_utils) or two-way multi-label
     (train_twoway_loss). batch: {'pixel_values', 'target_indices' | 'targets'}."""
 
     def loss_fn(params, batch, rng):
+        if compute_dtype is not None:
+            params = dtypes.cast_compute_params(params, compute_dtype)
         logits = cls_model.forward(params, cfg, batch["pixel_values"], dropout_rng=rng)
         if multilabel:
             loss = losses.two_way_multilabel_loss(logits, batch["targets"], t_p=t_p, t_n=t_n)

@@ -59,7 +59,10 @@ class ClsTrainer:
                 total_steps=self.max_train_steps, weight_decay=cfg.weight_decay,
                 accum_steps=cfg.gradient_accumulation_steps,
             )
-            loss_fn = steps.classifier_loss(model_cfg, multilabel=cfg.multilabel_two_way)
+            loss_fn = steps.classifier_loss(
+                model_cfg, multilabel=cfg.multilabel_two_way,
+                compute_dtype=common.compute_dtype_from_config(cfg),
+            )
             self._steps[frozen] = (
                 steps.make_train_step(
                     loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels)

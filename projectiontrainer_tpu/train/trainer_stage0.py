@@ -68,7 +68,10 @@ class Stage0Trainer:
         from projectiontrainer_tpu.core.mesh import DATA_AXIS
 
         shards = self.mesh.shape[DATA_AXIS] if cfg.local_negatives else 1
-        loss_fn = steps.stage0_loss(model_cfg, local_negatives_shards=shards)
+        loss_fn = steps.stage0_loss(
+            model_cfg, local_negatives_shards=shards,
+            compute_dtype=common.compute_dtype_from_config(cfg),
+        )
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
         )

@@ -61,14 +61,17 @@ class Stage1Trainer:
         pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
         self.pad_id = pad_id
         logits_chunk = 128 if vlm_cfg.llm.vocab_size >= 32_768 else None
-        loss_fn = steps.stage1_loss(vlm_cfg, pad_id, logits_chunk=logits_chunk)
+        cdtype = common.compute_dtype_from_config(cfg)
+        loss_fn = steps.stage1_loss(vlm_cfg, pad_id, logits_chunk=logits_chunk,
+                                    compute_dtype=cdtype)
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
         )
         # eval uses the chunked CE too: un-chunked fp32 logits at a 262k vocab OOM at
         # production eval shapes exactly where training fits (VERDICT r1 weak #1)
         self.eval_step = steps.make_eval_step(
-            steps.stage1_loss(vlm_cfg, pad_id, remat=False, logits_chunk=logits_chunk)
+            steps.stage1_loss(vlm_cfg, pad_id, remat=False, logits_chunk=logits_chunk,
+                              compute_dtype=cdtype)
         )
         self.state = steps.init_state(params, self.tx)
 

@@ -87,9 +87,10 @@ class Stage2Trainer:
         # the vocab table only trains under a full-LLM fine-tune; LoRA and frozen-LLM
         # runs qualify for the Pallas fused-CE kernel (ops/fused_ce.py contract)
         table_frozen = not self.base_policy.train_llm
+        cdtype = common.compute_dtype_from_config(cfg)
         loss_fn = steps.stage2_loss(
             vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk,
-            table_frozen=table_frozen,
+            table_frozen=table_frozen, compute_dtype=cdtype,
         )
         self._loss_fn = loss_fn
         # two step variants when the VE trains only on epoch 0
@@ -118,7 +119,8 @@ class Stage2Trainer:
         # (q256, a1024) bucket exactly where training fits (VERDICT r1 weak #1)
         self.eval_step = steps.make_eval_step(
             steps.stage2_loss(vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, remat=False,
-                              logits_chunk=logits_chunk, table_frozen=table_frozen)
+                              logits_chunk=logits_chunk, table_frozen=table_frozen,
+                              compute_dtype=cdtype)
         )
 
         self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "orbax"), best_mode="min")
