@@ -202,7 +202,7 @@ def _run_ce_check():
     }
 
 
-def _run_pipeline(steps_n: int):
+def _run_pipeline(steps_n: int, out_size: int = 384):
     """Host input-pipeline throughput: JPEG decode -> fused augment+preprocess
     (C++ runtime vs the numpy fallback) in images/sec — the host-side half of the
     images/sec/chip target (SURVEY §7.3.6: 'won or lost on host decode/augment')."""
@@ -230,11 +230,11 @@ def _run_pipeline(steps_n: int):
             img = np.asarray(Image.open(io.BytesIO(blobs[i % len(blobs)])).convert("RGB"))
             if use_native and lib is not None:
                 native.fused_preprocess(
-                    np.ascontiguousarray(img), 384, flip=bool(i % 2), zoom=1.05,
+                    np.ascontiguousarray(img), out_size, flip=bool(i % 2), zoom=1.05,
                     dx=3.0, dy=-2.0, contrast=1.1,
                 )
             else:
-                native._fused_fallback(img, 384, bool(i % 2), 1.05, 3.0, -2.0, 1.1,
+                native._fused_fallback(img, out_size, bool(i % 2), 1.05, 3.0, -2.0, 1.1,
                                        1 / 255.0, 0.5, 0.5)
         return n / (time.perf_counter() - t0)
 
@@ -243,10 +243,10 @@ def _run_pipeline(steps_n: int):
         t0 = time.perf_counter()
         for i in range(n):
             im = Image.open(io.BytesIO(blobs[i % len(blobs)]))
-            im.draft("RGB", (384, 384))
+            im.draft("RGB", (out_size, out_size))
             img = np.asarray(im.convert("RGB"))
             native.fused_preprocess(
-                np.ascontiguousarray(img), 384, flip=bool(i % 2), zoom=1.05,
+                np.ascontiguousarray(img), out_size, flip=bool(i % 2), zoom=1.05,
                 dx=3.0, dy=-2.0, contrast=1.1,
             )
         return n / (time.perf_counter() - t0)
@@ -259,7 +259,7 @@ def _run_pipeline(steps_n: int):
     return {
         "metric": "host_pipeline_images_per_sec",
         "value": round(native_ips, 2),
-        "unit": "images/sec (1024px JPEG decode + fused augment+preprocess to 384)",
+        "unit": f"images/sec (1024px JPEG decode + fused augment+preprocess to {out_size})",
         "extra": (f"native={native_ips:.2f} numpy_fallback={fallback_ips:.2f} "
                   f"draft_decode={draft_ips:.2f} "
                   f"(speedups {native_ips / fallback_ips:.2f}x / "
@@ -339,7 +339,8 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False):
     }
 
 
-def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str = "none"):
+def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str = "none",
+                  model: str = "gemma3-1b"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -360,7 +361,12 @@ def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str 
 
         attn = "flash" if jax.default_backend() == "tpu" else "xla"
         vis = dataclasses.replace(siglip.vit_l_16_384(), attn_impl=attn)
-        llm = dec.gemma3_config(attn_impl=attn)  # 1B shape: 26L, hidden 1152, 262k vocab
+        if model == "qwen3-8b":
+            # the reference's stage-1 sweep trains against Qwen/Qwen3-8B too
+            # (Stage1/run_projection_train_stage1.sh:12)
+            llm = dec.qwen3_config(attn_impl=attn)
+        else:
+            llm = dec.gemma3_config(attn_impl=attn)  # 1B: 26L, hidden 1152, 262k vocab
         cfg = vlm.VLMConfig(
             vision=vis,
             projector=proj.ProjectorConfig(
@@ -392,7 +398,8 @@ def _build_stage1(batch: int, tiny: bool, remat: bool = True, quant_method: str 
     tx, _ = optim.single_group_optimizer(
         labels, 3e-5, total_steps=1000, warmup_ratio=0.05, clip_norm=5.0
     )
-    loss_fn = steps.stage1_loss(cfg, 0, remat=remat, logits_chunk=256 if not tiny else None)
+    loss_fn = steps.stage1_loss(cfg, 0, remat=remat, logits_chunk=256 if not tiny else None,
+                                compute_dtype=jnp.bfloat16 if not tiny else None)
     step = steps.make_train_step(
         loss_fn, tx, donate=True, trainable_mask=masks.bool_mask(labels)
     )
@@ -483,7 +490,8 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     tx, _ = optim.single_group_optimizer(
         labels, 1e-5, total_steps=1000, clip_norm=1.0, clip_per_module=True
     )
-    loss_fn = steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=True, logits_chunk=256)
+    loss_fn = steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=True, logits_chunk=256,
+                                compute_dtype=jnp.bfloat16)
     step = steps.make_train_step(
         loss_fn, tx, donate=True, trainable_mask=masks.bool_mask(labels)
     )
@@ -519,7 +527,8 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     # where un-chunked fp32 logits (~7.8 GB at B=4, T=1855, V=262k) would OOM
     # (VERDICT r1 weak #1)
     eval_step = steps.make_eval_step(
-        steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=False, logits_chunk=256)
+        steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=False, logits_chunk=256,
+                          compute_dtype=jnp.bfloat16)
     )
     eval_loss, _ = eval_step(state["params"], batch_data)
     float(eval_loss)
@@ -610,8 +619,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--mode", default="stage1",
-        choices=["stage0", "stage1", "stage1-tiny", "stage2", "stage2-8b", "gen",
-                 "flash-check", "ce-check", "pipeline"],
+        choices=["stage0", "stage1", "stage1-tiny", "stage1-8b", "stage2", "stage2-8b",
+                 "gen", "flash-check", "ce-check", "pipeline"],
     )
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
@@ -620,6 +629,8 @@ def main(argv=None):
                         choices=["full", "dots", "none"],
                         help="dots (save matmuls, recompute elementwise) measured "
                              "~6%% faster than full for stage-1 on v5e")
+    parser.add_argument("--img_size", type=int, default=384,
+                        help="pipeline mode: output image size (stage-0 uses 512)")
     parser.add_argument("--gen_max_new", type=int, default=1024)
     parser.add_argument("--gen_beams", type=int, default=3)
     parser.add_argument("--gen_naive_reorder", action="store_true",
@@ -652,7 +663,7 @@ def main(argv=None):
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0)
         elif args.mode == "pipeline":
-            result = _run_pipeline(args.steps)
+            result = _run_pipeline(args.steps, out_size=args.img_size)
         elif args.mode == "gen":
             result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
                               max_new=args.gen_max_new, beams=args.gen_beams,
@@ -670,11 +681,15 @@ def main(argv=None):
         return
 
     tiny = args.mode == "stage1-tiny" or jax.default_backend() == "cpu"
+    s1_model = "qwen3-8b" if args.mode == "stage1-8b" else "gemma3-1b"
+    # 8B bf16 weights (16 GB) don't fit one chip; default the frozen base to int8,
+    # mirroring the reference's QLoRA-load of the frozen stage-1 LLM
+    s1_quant = args.quant or ("int8" if s1_model == "qwen3-8b" else "none")
     batch = args.batch if not tiny else 4
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
     step, state, batch_data = _build_stage1(
-        batch, tiny, remat=remat, quant_method=args.quant or "none"
+        batch, tiny, remat=remat, quant_method=s1_quant, model=s1_model
     )
     flops = _step_flops(step, state, batch_data, jax.random.key(0))
 
@@ -699,6 +714,8 @@ def main(argv=None):
 
     vs_baseline = None
     history = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
+    if s1_model != "gemma3-1b":
+        history = []  # prior rounds recorded the 1B metric; not comparable
     if history:
         try:
             with open(history[-1]) as f:
@@ -710,8 +727,11 @@ def main(argv=None):
             pass
 
     mfu = _mfu(flops, elapsed / args.steps, n_chips)
+    metric = "stage1_align_images_per_sec_per_chip"
+    if s1_model != "gemma3-1b":
+        metric += f"_{s1_model}_{s1_quant}"
     print(json.dumps({
-        "metric": "stage1_align_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
