@@ -550,6 +550,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
 
 
 def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
+             approx_topk: bool = False,
              beams: int = 3, q_len: int = 256, naive_reorder: bool = False,
              quant_method: str = "none"):
     """p50 latency of [visual; question] -> generation with a static KV cache.
@@ -580,6 +581,7 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
         temperature=0.3, top_p=0.9, top_k=50,
         repetition_penalty=1.8 if beams > 1 else 1.0,
         length_penalty=1.2 if beams > 1 else 1.0, pad_token_id=0,
+        approx_top_k=approx_topk,
     )
 
     @jax.jit
@@ -606,7 +608,7 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
     p50 = float(np.median(lat))
     suffix = ("_naive_reorder" if naive_reorder else "") + (
         f"_{quant_method}" if quant_method != "none" else ""
-    )
+    ) + ("_approx_topk" if approx_topk else "")
     return {
         "metric": "vqa_generation_latency_p50" + suffix,
         "value": round(p50, 4),
@@ -633,6 +635,8 @@ def main(argv=None):
                         help="pipeline mode: output image size (stage-0 uses 512)")
     parser.add_argument("--gen_max_new", type=int, default=1024)
     parser.add_argument("--gen_beams", type=int, default=3)
+    parser.add_argument("--gen_approx_topk", action="store_true",
+                        help="approx_max_k candidate scan in sampled beam search")
     parser.add_argument("--gen_naive_reorder", action="store_true",
                         help="full-cache beam gather (the pre-optimization baseline)")
     parser.add_argument("--quant", type=str, default=None,
@@ -667,6 +671,7 @@ def main(argv=None):
         elif args.mode == "gen":
             result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
                               max_new=args.gen_max_new, beams=args.gen_beams,
+                              approx_topk=args.gen_approx_topk,
                               naive_reorder=args.gen_naive_reorder,
                               quant_method=args.quant or "none")
         else:

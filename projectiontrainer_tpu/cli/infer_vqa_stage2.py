@@ -51,6 +51,10 @@ def build_parser():
     p.add_argument("--top_k", type=int, default=50)
     p.add_argument("--repetition_penalty", type=float, default=1.8)
     p.add_argument("--length_penalty", type=float, default=1.2)
+    p.add_argument("--approx_topk", action="store_true",
+                   help="TPU approx_max_k candidate scan in sampled beam search "
+                        "(~4%% faster decode; sampling-path only, off = exact HF "
+                        "semantics)")
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=int, default=32)
     return p
@@ -121,7 +125,7 @@ def main(argv=None):
         do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
         top_k=args.top_k, repetition_penalty=args.repetition_penalty,
         length_penalty=args.length_penalty, eos_token_id=tokenizer.eos_token_id,
-        pad_token_id=tokenizer.pad_token_id or 0,
+        pad_token_id=tokenizer.pad_token_id or 0, approx_top_k=args.approx_topk,
     )
 
     if args.image_path:

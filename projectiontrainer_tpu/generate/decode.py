@@ -42,6 +42,13 @@ class GenerationConfig:
     length_penalty: float = 1.0
     eos_token_id: Optional[int] = None
     pad_token_id: int = 0
+    # Opt-in: use jax.lax.approx_max_k for the per-beam top-k candidate scan in
+    # SAMPLED beam search (the one exact top-k over the full vocab per step). TPU's
+    # approximate top-k is several times faster at large vocabs; recall ~0.95 means a
+    # tail candidate can occasionally be missed — acceptable for sampling (the path is
+    # stochastic anyway), NOT used for deterministic beam search, whose HF parity is
+    # exact. Default off so every decode reproduces HF semantics bit-for-bit.
+    approx_top_k: bool = False
 
 
 # ---------------------------------------------------------------------------- logit ops
@@ -269,7 +276,11 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
             if cfg.temperature != 1.0:
                 scores = scores / cfg.temperature
             k = min(cfg.top_k, vocab)
-            vals, vidx = jax.lax.top_k(scores, k)            # [B*nb, k] sorted desc
+            if cfg.approx_top_k and k < vocab:
+                vals, vidx = jax.lax.approx_max_k(scores, k)  # [B*nb, k] sorted desc
+                vidx = vidx.astype(jnp.int32)
+            else:
+                vals, vidx = jax.lax.top_k(scores, k)        # [B*nb, k] sorted desc
             if cfg.top_p is not None and cfg.top_p < 1.0:
                 vals = _top_p_on_sorted(vals, cfg.top_p)
             cand = (vals + live_scores.reshape(-1)[:, None]).reshape(b, nb * k)

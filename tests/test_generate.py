@@ -234,3 +234,31 @@ def test_eos_padding_and_sampling_shapes():
         eos_pos = np.where(row == 5)[0]
         if len(eos_pos):
             assert (row[eos_pos[0] + 1:] == 0).all()
+
+
+def test_beam_sampling_approx_topk_path():
+    """approx_top_k=True (opt-in approx_max_k candidate scan — decode.py) must produce
+    valid, key-deterministic output and collapse to the same argmax choices as the
+    exact path at near-zero temperature (where only the clear top candidate matters,
+    which approx top-k cannot miss)."""
+    _, _, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(11)
+    ids = rng.integers(1, 101, size=(2, 5))
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    mask = jnp.ones(ids.shape, jnp.int32)
+
+    def run(key, approx, temperature):
+        return np.asarray(generate(
+            params, jcfg, embeds, mask,
+            GenerationConfig(max_new_tokens=8, do_sample=True, num_beams=3,
+                             temperature=temperature, top_k=20, top_p=0.9,
+                             approx_top_k=approx, pad_token_id=0),
+            key=jax.random.key(key),
+        ))
+
+    a, b = run(0, True, 1.5), run(0, True, 1.5)
+    np.testing.assert_array_equal(a, b)  # deterministic given the key
+    assert a.shape == (2, 8)
+    assert (a >= 0).all() and (a < jcfg.vocab_size).all()
+    # near-zero temperature: exact and approx agree on the dominant candidates
+    np.testing.assert_array_equal(run(5, True, 1e-4), run(6, False, 1e-4))
