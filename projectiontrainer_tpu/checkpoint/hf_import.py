@@ -55,20 +55,43 @@ def load_config(model_dir: str) -> dict:
         return json.load(f)
 
 
-def load_siglip(model_dir: str):
-    """Local SigLIP snapshot -> (SiglipConfig, params)."""
+def _auto_attn_impl(attn_impl):
+    """None -> 'flash' on TPU, 'xla' elsewhere. The Pallas kernel avoids the XLA
+    path's fp32 [B,H,T,T] score materialization (~1 GB/layer on the so400m tower at
+    1025 patches); decode steps (tq != tk) fall back to XLA inside
+    dot_product_attention automatically."""
+    if attn_impl is not None:
+        return attn_impl
+    import jax
+
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
+def load_siglip(model_dir: str, *, attn_impl: str | None = None):
+    """Local SigLIP snapshot -> (SiglipConfig, params). ``attn_impl`` None = auto
+    (Pallas flash on TPU)."""
+    import dataclasses
+
     from transformers import SiglipConfig as HFSiglipConfig
 
     from projectiontrainer_tpu.models import siglip
 
     hf_cfg = HFSiglipConfig.from_pretrained(model_dir)
     cfg = siglip.from_hf_config(hf_cfg)
+    impl = _auto_attn_impl(attn_impl)
+    cfg = siglip.SiglipConfig(
+        vision=dataclasses.replace(cfg.vision, attn_impl=impl),
+        text=dataclasses.replace(cfg.text, attn_impl=impl),
+    )
     sd = load_state_dict(model_dir)
     return cfg, siglip.params_from_hf_state_dict(cfg, sd)
 
 
-def load_decoder(model_dir: str):
-    """Local Gemma3/Qwen3 snapshot -> (DecoderConfig, params)."""
+def load_decoder(model_dir: str, *, attn_impl: str | None = None):
+    """Local Gemma3/Qwen3 snapshot -> (DecoderConfig, params). ``attn_impl`` None =
+    auto (Pallas flash on TPU; decode steps fall back to XLA internally)."""
+    import dataclasses
+
     from transformers import AutoConfig
 
     from projectiontrainer_tpu.models import decoder
@@ -77,6 +100,7 @@ def load_decoder(model_dir: str):
     if hf_cfg.model_type == "gemma3":  # multimodal wrapper -> text config
         hf_cfg = hf_cfg.text_config
     cfg = decoder.from_hf_config(hf_cfg)
+    cfg = dataclasses.replace(cfg, attn_impl=_auto_attn_impl(attn_impl))
     sd = load_state_dict(model_dir)
     # strip multimodal prefixes if present (gemma-3 vlm checkpoints)
     sd = {

@@ -38,18 +38,19 @@ DEFAULT_BK = 256
 
 
 def flash_attention_supported(q, k, v, *, window=None) -> bool:
-    """Self-attention shapes only (training/prefill): same q/kv length, no cache decode;
-    head_dim must tile the lane dimension cleanly."""
+    """Self-attention shapes only (training/prefill): same q/kv length, no cache
+    decode. Any head_dim (non-64-multiples are zero-padded inside flash_attention)."""
     if jax.default_backend() != "tpu":
         return False
     b, tq, hq, d = q.shape
     _, tk, hkv, _ = k.shape
     if tq != tk:
         return False
-    if d % 64 != 0:
-        return False
     if hq % hkv != 0:
         return False
+    # any head_dim is supported: non-64-multiples are zero-padded inside
+    # flash_attention (see its docstring); tiny dims still win because the XLA
+    # path's fp32 [B,H,T,T] score materialization dominates at training lengths
     return True
 
 
@@ -80,7 +81,12 @@ def _pad_to(x, t_pad, axis):
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, window,
                 bq, bk, t_real, use_mask):
     qi = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    # MXU inputs stay in their NATIVE dtype (bf16 in training) with fp32 accumulation
+    # via preferred_element_type — upcasting bf16 inputs to fp32 before the dot gains
+    # nothing numerically (the values are already bf16) but forces the ~8x-slower fp32
+    # MXU path; measured 27-layer so400m fwd: 192ms -> ~40ms. Matches the XLA path,
+    # which also multiplies bf16 and casts probs to q.dtype before PV.
+    q = q_ref[0, 0]  # [BQ, D]
     t_pad = k_ref.shape[2]
     n_kv = t_pad // bk
     d = q_ref.shape[3]
@@ -93,11 +99,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, w
 
     def body(j, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)  # [BK, D]
-        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :]  # [BK, D]
+        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [BQ, BK]
+        ) * scale  # [BQ, BK] fp32
 
         k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         valid = k_pos < t_real
@@ -115,7 +121,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, l_ref, *, scale, causal, w
         correction = jnp.exp(m - m_new)
         l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * correction + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -180,8 +187,8 @@ def _fwd(q, k, v, kv_mask, *, scale, causal, window, bq, bk, interpret=False):
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, scale, causal, window, bq, bk, t_real, use_mask):
     ki = pl.program_id(2)
-    k_blk = k_ref[0, 0].astype(jnp.float32)   # [BK, D]
-    v_blk = v_ref[0, 0].astype(jnp.float32)
+    k_blk = k_ref[0, 0]   # [BK, D] native dtype (see _fwd_kernel dtype note)
+    v_blk = v_ref[0, 0]
     t_pad = q_ref.shape[2]
     n_q = t_pad // bq
     d = q_ref.shape[3]
@@ -194,8 +201,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
 
     def body(j, carry):
         dk, dv = carry
-        q_blk = q_ref[0, 0, pl.ds(j * bq, bq), :].astype(jnp.float32)
-        do_blk = do_ref[0, 0, pl.ds(j * bq, bq), :].astype(jnp.float32)
+        q_blk = q_ref[0, 0, pl.ds(j * bq, bq), :]
+        do_blk = do_ref[0, 0, pl.ds(j * bq, bq), :]
         lse = lse_ref[0, 0, 0, pl.ds(j * bq, bq)]
         delta = delta_ref[0, 0, 0, pl.ds(j * bq, bq)]
 
@@ -213,14 +220,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
 
         dv = dv + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta[:, None]) * scale
         dk = dk + jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return dk, dv
 
@@ -236,8 +245,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    *, scale, causal, window, bq, bk, t_real, use_mask):
     qi = pl.program_id(2)
-    q_blk = q_ref[0, 0].astype(jnp.float32)
-    do_blk = do_ref[0, 0].astype(jnp.float32)
+    q_blk = q_ref[0, 0]  # native dtype (see _fwd_kernel dtype note)
+    do_blk = do_ref[0, 0]
     lse = lse_ref[0, 0, 0, :]
     delta = delta_ref[0, 0, 0, :]
     t_pad = k_ref.shape[2]
@@ -248,8 +257,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
     dq0 = jnp.zeros((bq, d), jnp.float32)
 
     def body(j, dq):
-        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(j * bk, bk), :]
+        v_blk = v_ref[0, 0, pl.ds(j * bk, bk), :]
         s = jax.lax.dot_general(
             q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -267,7 +276,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq
         )
         ds = p * (dp - delta[:, None]) * scale
         return dq + jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     if causal:
@@ -382,10 +392,21 @@ def flash_attention(
     bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK, interpret: bool = False,
 ):
     """Drop-in for ops.attention.dot_product_attention on self-attention shapes.
-    q/k/v: [B, T, H{q,kv}, D] -> [B, T, Hq, D]."""
+    q/k/v: [B, T, H{q,kv}, D] -> [B, T, Hq, D].
+
+    Head dims that don't tile the 64-wide lane granule are zero-padded up to the next
+    multiple of 64 (exact: zero dims contribute nothing to QK^T, and the padded output
+    columns are sliced away). so400m's D=72 pays a 1.78x attention-matmul overhead this
+    way but skips the XLA path's ~1 GB/layer fp32 score materialization — measured 2x+
+    faster on the stage-0 tower at 1025 patches."""
     del q_offset  # self-attention only (checked by flash_attention_supported)
+    d = q.shape[-1]
     if scale is None:
-        scale = q.shape[-1] ** -0.5
+        scale = d ** -0.5
+    d_pad = -d % 64
+    if d_pad:
+        q, k, v = (_pad_to(x, d + d_pad, 3) for x in (q, k, v))
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
-    return out.swapaxes(1, 2)
+    out = out.swapaxes(1, 2)
+    return out[..., :d] if d_pad else out

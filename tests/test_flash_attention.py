@@ -95,3 +95,22 @@ def test_flash_grads_with_mask():
     g_flash = jax.grad(flash_fn, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(g_flash, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
+
+
+def test_flash_unaligned_head_dim_fwd_and_grads():
+    """D=72 (so400m's 1152/16) exercises the zero-pad-to-64-multiple path added for
+    the stage-0 vision tower: forward and all three grads must match XLA exactly."""
+    q, k, v = make_qkv(t=96, hq=4, hkv=4, d=72, seed=3)
+
+    def loss(f, *a):
+        return jnp.sum(f(*a) ** 2)
+
+    ref_fn = lambda q, k, v: dot_product_attention(q, k, v, causal=False)
+    out_fn = lambda q, k, v: flash_attention(q, k, v, causal=False, bq=32, bk=32,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(out_fn(q, k, v)),
+                               np.asarray(ref_fn(q, k, v)), **TOL)
+    g_ref = jax.grad(lambda *a: loss(ref_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(lambda *a: loss(out_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
