@@ -325,10 +325,12 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False):
     for i in range(warmup):
         state, loss, _ = step(state, batch_data, jax.random.key(i))
     float(loss)
+    # chained timing, one final readback — same methodology as every other mode
+    # (per-step float(loss) stalls the dispatch pipeline through the tunnel)
     t0 = time.perf_counter()
     for i in range(steps_n):
         state, loss, _ = step(state, batch_data, jax.random.key(100 + i))
-        float(loss)  # per-step sync: the tunneled runtime has no true async wait
+    float(loss)
     elapsed = time.perf_counter() - t0
     step_s = elapsed / steps_n
     n_chips = len(jax.devices())
@@ -632,10 +634,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
-    parser.add_argument("--remat", type=str, default="dots",
+    parser.add_argument("--remat", type=str, default=None,
                         choices=["full", "dots", "none"],
-                        help="dots (save matmuls, recompute elementwise) measured "
-                             "~6%% faster than full for stage-1 on v5e")
+                        help="per-mode defaults when omitted: stage1 'dots' (measured "
+                             "~6%% faster than full on v5e), stage0 'none'")
     parser.add_argument("--img_size", type=int, default=384,
                         help="pipeline mode: output image size (stage-0 uses 512)")
     parser.add_argument("--gen_max_new", type=int, default=1024)
@@ -667,8 +669,7 @@ def main(argv=None):
             # the global --batch default (8) is stage-1's; stage-0's reference
             # per-device batch is 16. --remat full/dots enables vision-tower remat
             # (needed for batch >= 32); the stage-0 default is none.
-            remat0 = {"full": True, "dots": "dots", "none": False}[args.remat] \
-                if "--remat" in (argv or sys.argv[1:]) else False
+            remat0 = {"full": True, "dots": "dots", "none": False, None: False}[args.remat]
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0)
         elif args.mode == "pipeline":
@@ -697,7 +698,7 @@ def main(argv=None):
     s1_quant = args.quant or ("int8" if s1_model == "qwen3-8b" else "none")
     batch = args.batch if not tiny else 4
 
-    remat = {"full": True, "dots": "dots", "none": False}[args.remat]
+    remat = {"full": True, "dots": "dots", "none": False}[args.remat or "dots"]
     step, state, batch_data = _build_stage1(
         batch, tiny, remat=remat, quant_method=s1_quant, model=s1_model
     )
@@ -724,8 +725,8 @@ def main(argv=None):
 
     vs_baseline = None
     history = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
-    if s1_model != "gemma3-1b":
-        history = []  # prior rounds recorded the 1B metric; not comparable
+    if not tiny and (s1_model != "gemma3-1b" or s1_quant != "none"):
+        history = []  # prior rounds recorded the plain 1B metric; not comparable
     if history:
         try:
             with open(history[-1]) as f:
@@ -738,8 +739,12 @@ def main(argv=None):
 
     mfu = _mfu(flops, elapsed / args.steps, n_chips)
     metric = "stage1_align_images_per_sec_per_chip"
-    if s1_model != "gemma3-1b":
+    if tiny:
+        pass  # tiny smoke runs an unquantized tiny Gemma shape — keep the base label
+    elif s1_model != "gemma3-1b":
         metric += f"_{s1_model}_{s1_quant}"
+    elif s1_quant != "none":
+        metric += f"_{s1_quant}"
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
@@ -750,7 +755,7 @@ def main(argv=None):
     print(
         f"# mode={args.mode} tiny={tiny} batch={batch} steps={args.steps} "
         f"elapsed={elapsed:.2f}s chips={n_chips} loss={float(loss):.4f} "
-        f"step_time={elapsed / args.steps * 1e3:.1f}ms mfu={mfu:.1%} remat={args.remat}",
+        f"step_time={elapsed / args.steps * 1e3:.1f}ms mfu={mfu:.1%} remat={args.remat or 'dots'}",
         file=sys.stderr,
     )
 

@@ -91,12 +91,23 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 # ---------------------------------------------------------------------------- stage 1
 
 
-def _resolve_ce_impl(ce_impl: str, table_frozen: bool) -> str:
-    """'auto' picks the Pallas fused linear+CE kernel on TPU when the vocab table is
-    frozen (its kernel contract — ops/fused_ce.py), else the chunked XLA scan."""
+def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
+                     hidden_size: Optional[int] = None) -> str:
+    """'auto' picks the Pallas fused linear+CE kernel on TPU when its contract holds
+    (ops/fused_ce.py): frozen vocab table, lane-aligned hidden dim, and a SINGLE
+    device — pallas_call has no GSPMD partitioning rules, so under a multi-chip mesh
+    the partitioner would all-gather the sharded [V, D] table onto every chip (the
+    exact HBM blow-up the kernel avoids). Multi-chip runs keep the chunked XLA scan,
+    which GSPMD partitions fine. Explicit ce_impl='fused' overrides (single-chip
+    benches/tests)."""
     if ce_impl != "auto":
         return ce_impl
-    if table_frozen and jax.default_backend() == "tpu":
+    if (
+        table_frozen
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and (hidden_size is None or hidden_size % 128 == 0)
+    ):
         return "fused"
     return "chunked"
 
@@ -133,7 +144,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
     ``compute_dtype`` (trainers pass bf16 from ``--mixed_precision``) casts params to
     the compute dtype inside the loss — fp32 masters, bf16 MXU matmuls. None = compute
     in the params' own dtype (exact-parity mode for tests)."""
-    impl = _resolve_ce_impl(ce_impl, table_frozen=True)
+    impl = _resolve_ce_impl(ce_impl, table_frozen=True,
+                            hidden_size=cfg.llm.hidden_size)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -170,7 +182,8 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
     Trainers that freeze the LLM without LoRA may pass ``table_frozen=True``."""
     if table_frozen is None:
         table_frozen = lora_cfg is not None
-    impl = _resolve_ce_impl(ce_impl, table_frozen=table_frozen)
+    impl = _resolve_ce_impl(ce_impl, table_frozen=table_frozen,
+                            hidden_size=cfg.llm.hidden_size)
 
     def loss_fn(params, batch, rng):
         del rng

@@ -68,8 +68,12 @@ class Stage0Trainer:
         from projectiontrainer_tpu.core.mesh import DATA_AXIS
 
         shards = self.mesh.shape[DATA_AXIS] if cfg.local_negatives else 1
+        # remat=False: the reference enables gradient checkpointing only in stages 1/2
+        # (Stage1/train_projection_stage1.py:216-233), not stage 0, and the benched
+        # operating point (batch 16, bench.py --mode stage0) fits without it. Large
+        # batches (>= 32) need remat — bench --remat full documents the boundary.
         loss_fn = steps.stage0_loss(
-            model_cfg, local_negatives_shards=shards,
+            model_cfg, remat=False, local_negatives_shards=shards,
             compute_dtype=common.compute_dtype_from_config(cfg),
         )
         self.train_step = steps.make_train_step(
