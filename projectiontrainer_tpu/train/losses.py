@@ -8,6 +8,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from projectiontrainer_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+try:  # JAX >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map
 
 IGNORE_INDEX = -100
 
@@ -95,7 +103,7 @@ def chunked_shifted_clm_loss(hidden, embed_table, labels, *, chunk_size: int = 1
 
 
 def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float = 1.0,
-                           sample_weights=None, interpret: bool = False):
+                           sample_weights=None, interpret: bool = False, mesh=None):
     """Shifted CLM loss via the Pallas fused linear+CE kernel (ops/fused_ce.py).
 
     Same semantics as :func:`chunked_shifted_clm_loss` (shift, -100 masked mean,
@@ -105,17 +113,45 @@ def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float =
     REQUIRES a frozen ``embed_table`` (its gradient is hard zero — the kernel contract;
     true for Stage 1's fully-frozen LLM and Stage 2's LoRA adapters). Trainers that
     unfreeze the embedding must use the chunked path.
-    """
+
+    ``mesh``: pass the trainer's mesh to run the kernel under a DATA-parallel mesh.
+    pallas_call has no GSPMD partitioning rules, so the per-token NLL is wrapped in
+    ``shard_map`` — each device runs the kernel on its own batch shard against the
+    (replicated) table; the masked mean afterwards is plain GSPMD. Requires the mesh's
+    model axis to be 1 (a model-sharded table needs a vocab-parallel variant — callers
+    route TP meshes to the chunked path via steps._resolve_ce_impl)."""
     b, t, d = hidden.shape
-    hidden = hidden[:, :-1, :].reshape(b * (t - 1), d)
     labels = labels[:, 1:]
     valid = labels != IGNORE_INDEX
-    safe = jnp.where(valid, labels, 0).reshape(-1)
+    safe = jnp.where(valid, labels, 0)
 
     from projectiontrainer_tpu.ops.fused_ce import fused_clm_token_nll
 
-    nll = fused_clm_token_nll(hidden, embed_table, safe, logits_scale, interpret)
-    token_loss = jnp.where(valid, nll.reshape(b, t - 1), 0.0)
+    def token_nll(h, table, lbl):
+        bl = h.shape[0]
+        flat = h[:, :-1, :].reshape(bl * (t - 1), d)
+        return fused_clm_token_nll(
+            flat, table, lbl.reshape(-1), logits_scale, interpret
+        ).reshape(bl, t - 1)
+
+    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        if mesh.shape.get(MODEL_AXIS, 1) != 1:
+            raise ValueError(
+                "fused CE under a model-sharded mesh is unsupported (vocab table is "
+                "sharded); use the chunked path"
+            )
+        nll = shard_map(
+            token_nll, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            # pallas_call's ShapeDtypeStruct outputs carry no varying-mesh-axes
+            # metadata; the wrapper is trivially correct (no collectives inside)
+            check_vma=False,
+        )(hidden, embed_table, safe)
+    else:
+        nll = token_nll(hidden, embed_table, safe)
+
+    token_loss = jnp.where(valid, nll, 0.0)
     valid_f = valid.astype(jnp.float32)
     if sample_weights is not None:
         w = sample_weights.astype(jnp.float32)[:, None]

@@ -92,29 +92,32 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 
 
 def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
-                     hidden_size: Optional[int] = None) -> str:
+                     hidden_size: Optional[int] = None, mesh=None) -> str:
     """'auto' picks the Pallas fused linear+CE kernel on TPU when its contract holds
-    (ops/fused_ce.py): frozen vocab table, lane-aligned hidden dim, and a SINGLE
-    device — pallas_call has no GSPMD partitioning rules, so under a multi-chip mesh
-    the partitioner would all-gather the sharded [V, D] table onto every chip (the
-    exact HBM blow-up the kernel avoids). Multi-chip runs keep the chunked XLA scan,
-    which GSPMD partitions fine. Explicit ce_impl='fused' overrides (single-chip
-    benches/tests)."""
+    (ops/fused_ce.py): frozen vocab table, lane-aligned hidden dim, and either a
+    single device or a DATA-only mesh (the kernel then runs per-shard under
+    shard_map — losses.fused_shifted_clm_loss). pallas_call has no GSPMD partitioning
+    rules, so a MODEL-sharded mesh (vocab table split across chips) keeps the chunked
+    XLA scan, which GSPMD partitions fine. Explicit ce_impl='fused' overrides."""
     if ce_impl != "auto":
         return ce_impl
-    if (
-        table_frozen
-        and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and (hidden_size is None or hidden_size % 128 == 0)
-    ):
+    if jax.default_backend() != "tpu" or not table_frozen:
+        return "chunked"
+    if hidden_size is not None and hidden_size % 128 != 0:
+        return "chunked"
+    if jax.device_count() == 1:
+        return "fused"
+    from projectiontrainer_tpu.core.mesh import MODEL_AXIS
+
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) == 1:
         return "fused"
     return "chunked"
 
 
 def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
                           remat: bool, logits_chunk: Optional[int], lora=None,
-                          lora_cfg=None, sample_weights=None, ce_impl: str = "chunked"):
+                          lora_cfg=None, sample_weights=None, ce_impl: str = "chunked",
+                          mesh=None):
     hidden, _ = dec.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
         remat=remat, lora=lora, lora_cfg=lora_cfg,
@@ -122,7 +125,7 @@ def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
     if logits_chunk and ce_impl == "fused":
         table = dec.lm_head_table(params["llm"], cfg.llm)
         return losses.fused_shifted_clm_loss(
-            hidden, table, labels, sample_weights=sample_weights
+            hidden, table, labels, sample_weights=sample_weights, mesh=mesh
         )
     if logits_chunk:
         table = dec.lm_head_table(params["llm"], cfg.llm)
@@ -135,7 +138,7 @@ def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
 
 def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
                 logits_chunk: Optional[int] = None, ce_impl: str = "auto",
-                compute_dtype=None):
+                compute_dtype=None, mesh=None):
     """[visual; caption] CLM loss (reference: Stage1/projector_trainer.py:160-233).
     batch: {'pixel_values': [B,H,W,C], 'caption_ids': [B,Tc]} (fixed 512-len captions).
     ``logits_chunk`` switches to the memory-efficient chunked CE (large-vocab models);
@@ -145,7 +148,7 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
     the compute dtype inside the loss — fp32 masters, bf16 MXU matmuls. None = compute
     in the params' own dtype (exact-parity mode for tests)."""
     impl = _resolve_ce_impl(ce_impl, table_frozen=True,
-                            hidden_size=cfg.llm.hidden_size)
+                            hidden_size=cfg.llm.hidden_size, mesh=mesh)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -159,6 +162,7 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
             sample_weights=batch.get("sample_weight"), ce_impl=impl,
+            mesh=mesh if impl == "fused" else None,
         )
         return loss, {"tokens": n_tok}
 
@@ -171,7 +175,7 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
 def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
                 remat: bool = True, logits_chunk: Optional[int] = None,
                 ce_impl: str = "auto", table_frozen: Optional[bool] = None,
-                compute_dtype=None):
+                compute_dtype=None, mesh=None):
     """[visual; question; answer] answer-masked CLM loss (reference:
     Stage2/trainer.py:306-418). batch: {'pixel_values', 'question_ids', 'answer_ids'}
     (bucketed static shapes). LoRA adapters, when configured, live at params['lora'].
@@ -183,7 +187,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
     if table_frozen is None:
         table_frozen = lora_cfg is not None
     impl = _resolve_ce_impl(ce_impl, table_frozen=table_frozen,
-                            hidden_size=cfg.llm.hidden_size)
+                            hidden_size=cfg.llm.hidden_size, mesh=mesh)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -198,7 +202,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
             lora=lora, lora_cfg=lora_cfg, sample_weights=batch.get("sample_weight"),
-            ce_impl=impl,
+            ce_impl=impl, mesh=mesh if impl == "fused" else None,
         )
         return loss, {"tokens": n_tok}
 

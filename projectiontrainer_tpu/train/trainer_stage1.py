@@ -63,7 +63,7 @@ class Stage1Trainer:
         logits_chunk = 128 if vlm_cfg.llm.vocab_size >= 32_768 else None
         cdtype = common.compute_dtype_from_config(cfg)
         loss_fn = steps.stage1_loss(vlm_cfg, pad_id, logits_chunk=logits_chunk,
-                                    compute_dtype=cdtype)
+                                    compute_dtype=cdtype, mesh=self.mesh)
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
         )
@@ -71,7 +71,7 @@ class Stage1Trainer:
         # production eval shapes exactly where training fits (VERDICT r1 weak #1)
         self.eval_step = steps.make_eval_step(
             steps.stage1_loss(vlm_cfg, pad_id, remat=False, logits_chunk=logits_chunk,
-                              compute_dtype=cdtype)
+                              compute_dtype=cdtype, mesh=self.mesh)
         )
         self.state = steps.init_state(params, self.tx)
 

@@ -90,7 +90,7 @@ class Stage2Trainer:
         cdtype = common.compute_dtype_from_config(cfg)
         loss_fn = steps.stage2_loss(
             vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk,
-            table_frozen=table_frozen, compute_dtype=cdtype,
+            table_frozen=table_frozen, compute_dtype=cdtype, mesh=self.mesh,
         )
         self._loss_fn = loss_fn
         # two step variants when the VE trains only on epoch 0
@@ -120,7 +120,7 @@ class Stage2Trainer:
         self.eval_step = steps.make_eval_step(
             steps.stage2_loss(vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, remat=False,
                               logits_chunk=logits_chunk, table_frozen=table_frozen,
-                              compute_dtype=cdtype)
+                              compute_dtype=cdtype, mesh=self.mesh)
         )
 
         self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "orbax"), best_mode="min")

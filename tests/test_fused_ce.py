@@ -68,3 +68,41 @@ def test_fused_vocab_tile_exact_multiple():
     l_ref, _ = losses.chunked_shifted_clm_loss(hidden, table, labels, chunk_size=8)
     l_fused, _ = losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True)
     np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=2e-5)
+
+
+def test_fused_shard_map_data_parallel_matches_chunked():
+    """Under a data-parallel mesh the fused loss wraps the kernel in shard_map (each
+    device's batch shard against the replicated table — losses.fused_shifted_clm_loss).
+    Verified on the 8-device virtual CPU mesh in interpret mode against the chunked
+    GSPMD path, including sharded inputs placed via NamedSharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    hidden, table, labels = _data(b=8, t=12, d=128, v=512, seed=5)
+    hidden = jax.device_put(hidden, NamedSharding(mesh, P("data")))
+    labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    table = jax.device_put(table, NamedSharding(mesh, P()))
+
+    def chunked(h):
+        return losses.chunked_shifted_clm_loss(h, table, labels, chunk_size=8)[0]
+
+    def fused(h):
+        return losses.fused_shifted_clm_loss(
+            h, table, labels, interpret=True, mesh=mesh
+        )[0]
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(chunked))(hidden)
+    l_f, g_f = jax.jit(jax.value_and_grad(fused))(hidden)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=2e-4, atol=2e-6)
+
+
+def test_fused_shard_map_rejects_model_sharded_mesh():
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    hidden, table, labels = _data(b=8, t=10, d=128, v=256, seed=6)
+    with pytest.raises(ValueError, match="model-sharded"):
+        losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True, mesh=mesh)
