@@ -5,12 +5,17 @@ Gemma3-1B-shape decoder with 262k vocab — synthetic data, Pallas flash attenti
 
 - ``stage1`` (default, driver-recorded): projector-alignment train step ->
   images/sec/chip + MFU (frozen bf16 towers + stop-gradient masks, fused CE).
+- ``stage1-8b``: same against the frozen Qwen3-8B shape (int8 base — the reference
+  QLoRA-loads its frozen stage-1 LLM too).
+- ``stage0``: so400m-p16-512 SigLIP contrastive step (frozen text tower) ->
+  images/sec/chip.
 - ``stage2``: QLoRA VQA train step (575 visual + 256 q + 1024 a bucket) -> tokens/sec.
 - ``stage2-8b``: same at the Qwen3-8B shape (int8 base) the reference actually trains.
 - ``gen``: KV-cache generation at the REFERENCE inference config (1024 new tokens,
   3 beams, beam-multinomial sampling + penalties) -> p50 latency.
-- ``flash-check``: on-hardware numeric validation of the Mosaic-compiled Pallas flash
-  kernel vs the XLA path (fwd + grads, production shape).
+- ``flash-check`` / ``ce-check``: on-hardware numeric validation of the Mosaic-compiled
+  Pallas kernels vs their XLA paths (fwd + grads, production shapes).
+- ``pipeline``: host-side JPEG decode + fused C++ augment+preprocess throughput.
 - ``stage1-tiny``: CPU-runnable smoke variant.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"(, "mfu")}. The reference
