@@ -107,5 +107,27 @@ class CheckpointManager:
                 epochs.append(int(d[6:]))
         return max(epochs) if epochs else None
 
+    def save_step(self, step: int, state, metadata: Optional[dict] = None):
+        """Mid-epoch checkpoint under ``step_K`` (``--save_steps`` cadence). Only the
+        newest is kept — the previous step checkpoint is deleted after a successful
+        save, bounding disk for long runs. Epoch checkpoints are untouched."""
+        import shutil
+
+        prev = self.latest_step()
+        self._save(f"step_{step}", state, metadata)
+        if prev is not None and prev != step:
+            shutil.rmtree(os.path.join(self.directory, f"step_{prev}"),
+                          ignore_errors=True)
+            old_md = os.path.join(self.directory, f"step_{prev}_metadata.json")
+            if os.path.exists(old_md):
+                os.remove(old_md)
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for d in os.listdir(self.directory):
+            if d.startswith("step_") and d[5:].isdigit():
+                steps.append(int(d[5:]))
+        return max(steps) if steps else None
+
     def has(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.directory, name))

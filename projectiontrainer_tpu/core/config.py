@@ -43,6 +43,10 @@ class CommonConfig:
     # checkpoint in output_dir — the capability the reference lacks (SURVEY §5.3:
     # optimizer state saved but never reloaded)
     resume: bool = False
+    # > 0: additionally checkpoint every N batches under step_K (only the newest is
+    # kept); --resume restores mid-epoch and skips the already-consumed batches of the
+    # deterministic feed — preemption safety for long epochs (stage 1/2 trainers)
+    save_steps: int = 0
     # jax.profiler capture of steps [profile_start_step, +profile_num_steps) into
     # profile_dir (TensorBoard-loadable); off when unset (SURVEY §5.1)
     profile_dir: Optional[str] = None

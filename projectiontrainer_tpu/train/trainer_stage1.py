@@ -13,6 +13,7 @@ Stage1/projector_trainer.py:18-521) rebuilt around jitted steps:
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Optional
 
@@ -81,19 +82,34 @@ class Stage1Trainer:
         )
         self.global_step = 0
         self.start_epoch = 0
+        self._skip_batches = 0
         if cfg.resume:
             self.resume_latest()
 
     def resume_latest(self) -> int:
         """Restore full state (params + optimizer + step) from the latest epoch
-        checkpoint — true resume, which the reference lacks (SURVEY §5.3)."""
+        checkpoint — true resume, which the reference lacks (SURVEY §5.3). A newer
+        ``step_K`` checkpoint (``--save_steps``) wins: it restores mid-epoch and the
+        first resumed epoch skips the already-consumed batches of the deterministic
+        feed."""
         latest = self.ckpt.latest_epoch()
-        if latest is None:
-            return 0
-        self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
-        self.start_epoch = latest + 1
-        self.global_step = int(self.state["step"])
-        self.logger.log({"resumed_from_epoch": latest}, step=self.global_step)
+        if latest is not None:
+            self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
+            self.start_epoch = latest + 1
+            self.global_step = int(self.state["step"])
+        step_k = self.ckpt.latest_step()
+        if step_k is not None and step_k > self.global_step:
+            spe = common.steps_per_epoch(
+                len(self.train_dataset), common.global_batch_size(self.cfg, self.mesh)
+            )
+            self.state = self.ckpt.restore(f"step_{step_k}", self.state)
+            self.global_step = int(self.state["step"])
+            self.start_epoch = min(self.global_step // spe, self.cfg.num_epochs)
+            if self.start_epoch < self.cfg.num_epochs:
+                self._skip_batches = self.global_step % spe
+        if latest is not None or step_k is not None:
+            self.logger.log({"resumed_at_step": self.global_step},
+                            step=self.global_step)
         return self.start_epoch
 
     # ------------------------------------------------------------------ train
@@ -108,7 +124,11 @@ class Stage1Trainer:
             # a per-step float(loss) stalls the dispatch pipeline (~9% of step time
             # through the tunneled runtime)
             loss_sum, n_losses = None, 0
-            for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
+            feed = common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch)
+            if self._skip_batches:
+                feed = itertools.islice(feed, self._skip_batches, None)
+                self._skip_batches = 0
+            for batch in feed:
                 self.profiler.step(self.global_step)
                 self.state, loss, aux = self.train_step(
                     self.state, batch, jax.random.key(self.global_step)
@@ -117,6 +137,8 @@ class Stage1Trainer:
                 self.global_step += 1
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 n_losses += 1
+                if cfg.save_steps and self.global_step % cfg.save_steps == 0:
+                    self.ckpt.save_step(self.global_step, self.state, {"epoch": epoch})
                 if self.global_step % cfg.logging_steps == 0:
                     loss_f = float(loss)  # host-device sync point
                     self.timer.window_end()

@@ -15,6 +15,7 @@ Orchestration mirror of ``VQATrainerStage2`` (reference: Stage2/trainer.py:63-76
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 from typing import Optional
 
@@ -126,6 +127,7 @@ class Stage2Trainer:
         self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "orbax"), best_mode="min")
         self.global_step = 0
         self.start_epoch = 0
+        self._skip_batches = 0
         if cfg.resume:
             latest = self.ckpt.latest_epoch()
             if latest is not None:
@@ -139,6 +141,37 @@ class Stage2Trainer:
                 self.state = self.ckpt.restore(f"epoch_{latest}", self.state)
                 self.start_epoch = latest + 1
                 self.global_step = int(self.state["step"])
+            self._maybe_resume_mid_epoch()
+
+    def _maybe_resume_mid_epoch(self):
+        """Prefer a newer ``step_K`` checkpoint (``--save_steps``) over the epoch
+        position: restore it, locate the epoch it belongs to from the deterministic
+        per-epoch bucket plans, and skip the already-consumed batches of that epoch's
+        feed on the first resumed pass."""
+        step_k = self.ckpt.latest_step()
+        if step_k is None or step_k <= self.global_step:
+            return
+        consumed, epoch = 0, None
+        for e, plan in enumerate(self._train_plans):
+            if step_k < consumed + len(plan):
+                epoch = e
+                break
+            consumed += len(plan)
+        done = epoch is None  # checkpoint at/after the final batch: nothing left to run
+        if done:
+            epoch = len(self._train_plans) - 1  # restore under the LAST epoch's variant
+        ve = self.cfg.train_ve_first_epoch and epoch == 0
+        _, tx_k, _ = self._steps[ve]
+        if tx_k is not self.tx:
+            self.state = steps.init_state(self.state["params"], tx_k)
+            self.tx = tx_k
+        self.state = self.ckpt.restore(f"step_{step_k}", self.state)
+        self.global_step = int(self.state["step"])
+        if done:
+            self.start_epoch = len(self._train_plans)
+        else:
+            self.start_epoch = epoch
+            self._skip_batches = step_k - consumed
 
     def _feed(self, dataset, plan):
         from projectiontrainer_tpu.data import pipeline as pipe
@@ -167,7 +200,13 @@ class Stage2Trainer:
             # device-side loss accumulation; host syncs only at logging boundaries
             loss_sum, n_losses = None, 0
             visual_tokens = vlm.num_visual_tokens(self.vlm_cfg)
-            for batch in self._feed(self.train_dataset, self._train_plans[epoch]):
+            feed = self._feed(self.train_dataset, self._train_plans[epoch])
+            if self._skip_batches:
+                # mid-epoch resume: drop the batches the step checkpoint already
+                # consumed (the plan-driven feed is deterministic per epoch)
+                feed = itertools.islice(feed, self._skip_batches, None)
+                self._skip_batches = 0
+            for batch in feed:
                 self.profiler.step(self.global_step)
                 b, q_len = batch["question_ids"].shape
                 a_len = batch["answer_ids"].shape[1]
@@ -180,6 +219,8 @@ class Stage2Trainer:
                 self.global_step += 1
                 loss_sum = loss if loss_sum is None else loss_sum + loss
                 n_losses += 1
+                if cfg.save_steps and self.global_step % cfg.save_steps == 0:
+                    self.ckpt.save_step(self.global_step, self.state, {"epoch": epoch})
                 if self.global_step % cfg.logging_steps == 0:
                     loss_f = float(loss)  # sync point
                     self.timer.window_end()

@@ -106,3 +106,13 @@ def test_fused_shard_map_rejects_model_sharded_mesh():
     hidden, table, labels = _data(b=8, t=10, d=128, v=256, seed=6)
     with pytest.raises(ValueError, match="model-sharded"):
         losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True, mesh=mesh)
+
+
+def test_fused_bf16_inputs_interpret():
+    """bf16 hidden/table (the production dtype) through the kernel in interpret mode:
+    loss must track the chunked bf16 path within bf16 tolerance."""
+    hidden, table, labels = _data(b=2, t=14, d=128, v=640, seed=7)
+    hb, tb = hidden.astype(jnp.bfloat16), table.astype(jnp.bfloat16)
+    l_ref, _ = losses.chunked_shifted_clm_loss(hb, tb, labels, chunk_size=8)
+    l_f, _ = losses.fused_shifted_clm_loss(hb, tb, labels, interpret=True)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-2)

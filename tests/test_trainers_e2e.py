@@ -361,3 +361,70 @@ def test_cls_trainer_resume(corpus, tmp_path):
     )
     t2.train()
     assert t2.global_step > step_after
+
+
+def test_stage2_save_steps_mid_epoch_resume_equivalence(corpus, tmp_path):
+    """--save_steps preemption safety: die mid-epoch right after a step_K checkpoint,
+    build a fresh trainer with --resume, and the final params must EQUAL an
+    uninterrupted run's (deterministic plans + per-step rng keys make the replay
+    exact)."""
+    from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+
+    def mk_cfg(out):
+        return Stage2Config(
+            image_root=root, train_json=manifest, val_json=None,
+            output_dir=out, img_size=32, batch_size=2, num_epochs=1,
+            learning_rate=1e-3, gradient_accumulation_steps=1, max_q_len=16,
+            max_a_len=8, enable_qlora=True, num_workers=2, logging_steps=100,
+            mesh_data=1, disable_wandb=True, save_steps=2, resume=False, seed=3,
+        )
+
+    vcfg = T.tiny_vlm_cfg()
+    mesh = build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    ds = lambda: datasets.Stage2VQADataset.from_json(
+        manifest, image_root=root, tokenizer=tok, image_size=32, max_q_len=16, max_a_len=8
+    )
+
+    # uninterrupted reference run
+    ref = Stage2Trainer(mk_cfg(str(tmp_path / "ref")), vlm_cfg=vcfg,
+                        params=vlm.init(jax.random.key(5), vcfg), tokenizer=tok,
+                        train_dataset=ds(), mesh=mesh)
+    assert len(ref._train_plans[0]) >= 4, "need enough batches for a mid-epoch kill"
+    ref.train()
+
+    # interrupted run: same init/seed, preempted processing batch 4 — the newest
+    # surviving checkpoint is step_2 (mid-epoch)
+    out2 = str(tmp_path / "int")
+    t1 = Stage2Trainer(mk_cfg(out2), vlm_cfg=vcfg,
+                       params=vlm.init(jax.random.key(5), vcfg), tokenizer=tok,
+                       train_dataset=ds(), mesh=mesh)
+    real_step, tx, sched = t1._steps[False]
+    calls = {"n": 0}
+
+    def dying_step(state, batch, rng):
+        if calls["n"] == 3:
+            raise RuntimeError("preempted")
+        calls["n"] += 1
+        return real_step(state, batch, rng)
+
+    t1._steps[False] = (dying_step, tx, sched)
+    with pytest.raises(RuntimeError, match="preempted"):
+        t1.train()
+    assert t1.ckpt.latest_step() == 2 and t1.ckpt.latest_epoch() is None
+
+    cfg2 = mk_cfg(out2)
+    cfg2.resume = True
+    t2 = Stage2Trainer(cfg2, vlm_cfg=vcfg,
+                       params=vlm.init(jax.random.key(5), vcfg), tokenizer=tok,
+                       train_dataset=ds(), mesh=mesh)
+    assert t2.global_step == 2 and t2.start_epoch == 0 and t2._skip_batches == 2
+    t2.train()
+
+    ref_leaves = jax.tree_util.tree_leaves(ref.state["params"])
+    res_leaves = jax.tree_util.tree_leaves(t2.state["params"])
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)
