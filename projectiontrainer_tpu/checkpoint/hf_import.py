@@ -56,19 +56,18 @@ def load_config(model_dir: str) -> dict:
 
 
 def _auto_attn_impl(attn_impl):
-    """None -> 'flash' on single-chip TPU, 'xla' elsewhere. The Pallas kernel avoids
-    the XLA path's fp32 [B,H,T,T] score materialization; decode steps (tq != tk) fall
-    back to XLA inside dot_product_attention automatically. Multi-chip meshes keep
-    'xla': pallas_call has no GSPMD partitioning rules, so the partitioner would
-    all-gather head/batch-sharded operands onto every chip (a shard_map wrapper is the
-    future path to flash under GSPMD). Pass attn_impl explicitly to override."""
+    """None -> 'flash' on TPU, 'xla' elsewhere. The Pallas kernel avoids the XLA
+    path's fp32 [B,H,T,T] score materialization; decode steps (tq != tk) fall back to
+    XLA inside dot_product_attention automatically. On a MULTI-device runtime the
+    dispatch self-guards: the kernel runs only under a trainer's shard_map context
+    (core.mesh.flash_shard_context) and everything else — generation, ad-hoc jits —
+    takes the GSPMD-partitionable XLA path (pallas_call has no partitioning rules).
+    Pass attn_impl explicitly to override."""
     if attn_impl is not None:
         return attn_impl
     import jax
 
-    return "flash" if (
-        jax.default_backend() == "tpu" and jax.device_count() == 1
-    ) else "xla"
+    return "flash" if jax.default_backend() == "tpu" else "xla"
 
 
 def load_siglip(model_dir: str, *, attn_impl: str | None = None):

@@ -13,6 +13,7 @@ Collectives (grad psum, eval all_gathers) are inserted by XLA and ride ICI withi
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Optional, Sequence
 
@@ -65,6 +66,30 @@ def build_mesh(
 def local_mesh() -> Mesh:
     """1×1 mesh over the first device — for tests / single-chip runs."""
     return build_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+
+
+# --------------------------------------------------------------- flash shard context
+#
+# pallas_call has no GSPMD partitioning rules, so the Pallas flash kernel must be
+# wrapped in shard_map to run on a multi-chip mesh. Model code (decoder/siglip) has no
+# mesh access; trainer loss builders instead set this TRACE-TIME context around the
+# loss body, and ops.attention picks it up. Multi-device flash is strictly opt-in:
+# without a context, multi-device tracing falls back to the XLA attention path.
+
+_FLASH_MESH: list = [None]  # trace-time stack (tracing is single-threaded per jit)
+
+
+@contextlib.contextmanager
+def flash_shard_context(mesh: Optional[Mesh]):
+    _FLASH_MESH.append(mesh)
+    try:
+        yield
+    finally:
+        _FLASH_MESH.pop()
+
+
+def current_flash_mesh() -> Optional[Mesh]:
+    return _FLASH_MESH[-1]
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

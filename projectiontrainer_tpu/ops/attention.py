@@ -64,13 +64,29 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Attention returning [B, Tq, Hq, D]. GQA when Hq > Hkv (must divide)."""
     if impl == "flash":
-        from projectiontrainer_tpu.ops.flash_attention import flash_attention_supported, flash_attention
+        from projectiontrainer_tpu.ops.flash_attention import (
+            flash_attention, flash_attention_supported, sharded_flash_attention,
+            sharded_flash_plan,
+        )
 
         if flash_attention_supported(q, k, v, window=window):
-            return flash_attention(
-                q, k, v, scale=scale, causal=causal, window=window,
-                kv_mask=kv_mask, q_offset=q_offset,
-            )
+            if jax.device_count() == 1:
+                return flash_attention(
+                    q, k, v, scale=scale, causal=causal, window=window,
+                    kv_mask=kv_mask, q_offset=q_offset,
+                )
+            # Multi-device: the Pallas kernel has no GSPMD partitioning rules, so it
+            # runs ONLY under an explicit shard_map context (set by trainer loss
+            # builders — core.mesh.flash_shard_context). Anything else (generation,
+            # ad-hoc jits) falls through to the partitionable XLA path.
+            from projectiontrainer_tpu.core.mesh import current_flash_mesh
+
+            mesh = current_flash_mesh()
+            if mesh is not None and sharded_flash_plan(mesh, q, k) is not None:
+                return sharded_flash_attention(
+                    mesh, q, k, v, scale=scale, causal=causal, window=window,
+                    kv_mask=kv_mask,
+                )
 
     b, tq, hq, d = q.shape
     _, tk, hkv, _ = k.shape

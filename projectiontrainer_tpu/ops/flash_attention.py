@@ -410,3 +410,67 @@ def flash_attention(
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     out = out.swapaxes(1, 2)
     return out[..., :d] if d_pad else out
+
+
+def sharded_flash_plan(mesh, q, k):
+    """(q_spec, kv_spec, mask_spec, out_spec) PartitionSpecs for running the flash
+    kernel per-shard under ``shard_map`` on ``mesh`` — batch over the data axis, query
+    heads over the model axis, KV heads over model only when they divide (GQA with few
+    KV heads keeps them replicated: under megatron sharding a 1-head KV is feature-
+    sharded anyway, so the regather is one small head). Returns None when the shapes
+    don't divide the mesh — callers must fall back to the XLA path."""
+    from projectiontrainer_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+    dsz = mesh.shape.get(DATA_AXIS, 1)
+    msz = mesh.shape.get(MODEL_AXIS, 1)
+    b, _, hq, _ = q.shape
+    hkv = k.shape[2]
+    if b % dsz:
+        return None
+    head_ax = MODEL_AXIS if msz > 1 else None
+    if msz > 1 and hq % msz:
+        return None
+    kv_head_ax = MODEL_AXIS if (msz > 1 and hkv % msz == 0) else None
+    hq_l = hq // msz if head_ax else hq
+    hkv_l = hkv // msz if kv_head_ax else hkv
+    if hq_l % hkv_l:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    data_ax = DATA_AXIS if dsz > 1 else None
+    return (
+        P(data_ax, None, head_ax, None),
+        P(data_ax, None, kv_head_ax, None),
+        P(data_ax, None),
+        P(data_ax, None, head_ax, None),
+    )
+
+
+def sharded_flash_attention(mesh, q, k, v, *, scale=None, causal=False, window=None,
+                            kv_mask=None, interpret: bool = False):
+    """``flash_attention`` under ``shard_map`` on a multi-device mesh (specs from
+    :func:`sharded_flash_plan`; attention is independent per (batch, head) so no
+    collectives are needed). Caller must have checked the plan is not None."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
+
+    plan = sharded_flash_plan(mesh, q, k)
+    q_spec, kv_spec, mask_spec, out_spec = plan
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    def inner(q_, k_, v_, m_):
+        return flash_attention(q_, k_, v_, scale=scale, causal=causal, window=window,
+                               kv_mask=m_, interpret=interpret)
+
+    if kv_mask is None:
+        fn = shard_map(lambda q_, k_, v_: inner(q_, k_, v_, None), mesh=mesh,
+                       in_specs=(q_spec, kv_spec, kv_spec), out_specs=out_spec,
+                       check_vma=False)
+        return fn(q, k, v)
+    fn = shard_map(inner, mesh=mesh,
+                   in_specs=(q_spec, kv_spec, kv_spec, mask_spec),
+                   out_specs=out_spec, check_vma=False)
+    return fn(q, k, v, kv_mask)

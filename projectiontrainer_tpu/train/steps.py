@@ -9,6 +9,7 @@ dead backward graph — the functional replacement for ``requires_grad_``/``no_g
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Callable, Optional
 
@@ -20,6 +21,7 @@ from projectiontrainer_tpu.models import decoder as dec
 from projectiontrainer_tpu.models import siglip, vlm
 from projectiontrainer_tpu.models import classifier as cls_model
 from projectiontrainer_tpu.core import dtypes
+from projectiontrainer_tpu.core import mesh as mesh_mod
 from projectiontrainer_tpu.train import losses
 
 
@@ -91,6 +93,14 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 # ---------------------------------------------------------------------------- stage 1
 
 
+def _flash_ctx(mesh):
+    """Trace-time shard_map context for the Pallas flash kernel on multi-device
+    meshes (core.mesh.flash_shard_context); a no-op on single-device/no mesh."""
+    if mesh is not None and mesh.size > 1:
+        return mesh_mod.flash_shard_context(mesh)
+    return contextlib.nullcontext()
+
+
 def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
                      hidden_size: Optional[int] = None, mesh=None) -> str:
     """'auto' picks the Pallas fused linear+CE kernel on TPU when its contract holds
@@ -154,6 +164,10 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
         del rng
         if compute_dtype is not None:
             params = dtypes.cast_compute_params(params, compute_dtype)
+        with _flash_ctx(mesh):
+            return _stage1_body(params, batch)
+
+    def _stage1_body(params, batch):
         visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
@@ -193,6 +207,10 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
         del rng
         if compute_dtype is not None:
             params = dtypes.cast_compute_params(params, compute_dtype)
+        with _flash_ctx(mesh):
+            return _stage2_body(params, batch)
+
+    def _stage2_body(params, batch):
         visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
@@ -213,7 +231,7 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
 
 
 def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
-                local_negatives_shards: int = 1, compute_dtype=None):
+                local_negatives_shards: int = 1, compute_dtype=None, mesh=None):
     """SigLIP sigmoid pairwise loss on the full dual tower (reference:
     Stage0/train_vision_encoder_stage0.py:661-689). batch: {'pixel_values', 'input_ids'}.
 
@@ -230,9 +248,10 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
         del rng
         if compute_dtype is not None:
             params = dtypes.cast_compute_params(params, compute_dtype)
-        img, txt, scale, bias = siglip.forward_contrastive(
-            params, cfg, batch["pixel_values"], batch["input_ids"], remat=remat
-        )
+        with _flash_ctx(mesh):
+            img, txt, scale, bias = siglip.forward_contrastive(
+                params, cfg, batch["pixel_values"], batch["input_ids"], remat=remat
+            )
         if local_negatives_shards > 1:
             b = img.shape[0]
             per = b // local_negatives_shards

@@ -74,7 +74,7 @@ class Stage0Trainer:
         # batches (>= 32) need remat — bench --remat full documents the boundary.
         loss_fn = steps.stage0_loss(
             model_cfg, remat=False, local_negatives_shards=shards,
-            compute_dtype=common.compute_dtype_from_config(cfg),
+            compute_dtype=common.compute_dtype_from_config(cfg), mesh=self.mesh,
         )
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)

@@ -114,3 +114,47 @@ def test_flash_unaligned_head_dim_fwd_and_grads():
     g_out = jax.grad(lambda *a: loss(out_fn, *a), argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+def test_sharded_flash_matches_reference_on_virtual_mesh():
+    """shard_map-wrapped flash (batch over data, query heads over model, replicated
+    1-head KV — the GQA case) vs the XLA reference on the 8-device CPU mesh, fwd and
+    grads, interpret mode."""
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+    from projectiontrainer_tpu.ops.flash_attention import (
+        sharded_flash_attention, sharded_flash_plan,
+    )
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    q, k, v = make_qkv(b=4, t=96, hq=4, hkv=1, d=64, seed=9)
+    kv_mask = jnp.asarray(np.random.default_rng(2).random((4, 96)) > 0.15)
+
+    plan = sharded_flash_plan(mesh, q, k)
+    assert plan is not None
+    q_spec, kv_spec, _, _ = plan
+    assert q_spec[2] == "model" and kv_spec[2] is None  # 1 KV head stays replicated
+
+    def loss(f, *a):
+        return jnp.sum(f(*a).astype(jnp.float32) ** 2)
+
+    ref_fn = lambda q, k, v: dot_product_attention(q, k, v, causal=True, kv_mask=kv_mask)
+    out_fn = lambda q, k, v: sharded_flash_attention(
+        mesh, q, k, v, causal=True, kv_mask=kv_mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_fn(q, k, v)),
+                               np.asarray(ref_fn(q, k, v)), **TOL)
+    g_ref = jax.grad(lambda *a: loss(ref_fn, *a), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.jit(jax.grad(lambda *a: loss(out_fn, *a), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
+def test_sharded_flash_plan_rejects_indivisible_shapes():
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+    from projectiontrainer_tpu.ops.flash_attention import sharded_flash_plan
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    q, k, _ = make_qkv(b=4, t=32, hq=3, hkv=3, d=64)  # 3 heads % model=2 != 0
+    assert sharded_flash_plan(mesh, q, k) is None
+    q2, k2, _ = make_qkv(b=6, t=32, hq=4, hkv=4, d=64)  # 6 batch % data=4 != 0
+    assert sharded_flash_plan(mesh, q2, k2) is None
