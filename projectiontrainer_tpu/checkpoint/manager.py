@@ -42,11 +42,35 @@ class CheckpointManager:
         with open(os.path.join(self.directory, "manager_state.json"), "w") as f:
             json.dump({"best_metric": self._best_metric}, f)
 
+    @staticmethod
+    def _assert_cross_host_consistent(name: str, state):
+        """All hosts must be saving the same checkpoint at the same train step — a
+        desync here (one host lagging an epoch) would produce a torn checkpoint that
+        Orbax happily writes. The reference defends with barriers around saves
+        (Stage0/train_vision_encoder_stage0.py:795-798); SURVEY §5.2 prescribes this
+        stronger consistency assert for the TPU build."""
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        step = state.get("step") if isinstance(state, dict) else None
+        local = np.array(
+            [hash(name) % (2**31), -1 if step is None else int(jax.device_get(step))],
+            dtype=np.int64,
+        )
+        gathered = multihost_utils.process_allgather(local)
+        if not (gathered == gathered[0]).all():
+            raise RuntimeError(
+                f"cross-host checkpoint desync: hosts disagree on (name, step) for "
+                f"save '{name}' — got rows {gathered.tolist()}"
+            )
+
     def _save(self, name: str, state, metadata: Optional[dict] = None):
         path = os.path.join(self.directory, name)
+        self._assert_cross_host_consistent(name, state)
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
-        if metadata is not None:
+        if metadata is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, f"{name}_metadata.json"), "w") as f:
                 json.dump(metadata, f, indent=2, default=str)
 
@@ -115,7 +139,15 @@ class CheckpointManager:
 
         prev = self.latest_step()
         self._save(f"step_{step}", state, metadata)
-        if prev is not None and prev != step:
+        # Directory mutation must be single-writer: concurrent rmtree from every
+        # process against the shared checkpoint dir races (and a non-zero process
+        # could start deleting before process 0's metadata write lands). Sync so the
+        # new save is complete everywhere, then let process 0 alone clean up.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_step_{step}_saved")
+        if prev is not None and prev != step and jax.process_index() == 0:
             shutil.rmtree(os.path.join(self.directory, f"step_{prev}"),
                           ignore_errors=True)
             old_md = os.path.join(self.directory, f"step_{prev}_metadata.json")

@@ -430,6 +430,14 @@ def sharded_flash_plan(mesh, q, k):
     head_ax = MODEL_AXIS if msz > 1 else None
     if msz > 1 and hq % msz:
         return None
+    if msz > 1 and hkv % msz and hkv != 1:
+        # Replicated multi-head KV under a model-sharded mesh is WRONG: the per-shard
+        # kernel maps local query head hi onto KV head ``hi // n_rep`` starting from
+        # local KV head 0, but globally shard s's query heads all belong to the KV
+        # group at offset ``s * hq_l // n_rep`` — shards s>0 would silently attend
+        # with the wrong KV head. hkv == 1 is safe (every query head shares the one
+        # KV head); otherwise require hkv % msz == 0 so KV heads shard alongside Q.
+        return None
     kv_head_ax = MODEL_AXIS if (msz > 1 and hkv % msz == 0) else None
     hq_l = hq // msz if head_ax else hq
     hkv_l = hkv // msz if kv_head_ax else hkv

@@ -10,8 +10,10 @@ pre-merging before each step is WRONG for memory (it materializes full-size delt
 we compute ``x @ A @ B`` as two thin matmuls — at r=16 this is ~1% extra FLOPs and keeps the
 base matmul untouched for the MXU.
 
-NF4 4-bit base quantization has no TPU-native kernel; the flag surface is preserved and the
-base may be held in int8 (ops/quant) or bf16 — the documented fidelity delta (SURVEY §7.3.5).
+QLoRA base quantization is TPU-native here: ``ops/quant.py`` implements block-wise NF4
+(bitsandbytes codebook, packed uint8 nibbles) and int8 absmax schemes; the frozen base is
+held quantized and dequantized on the fly inside the decoder matmuls (``--enable_qlora``
+selects the scheme via ``--quant_method {nf4,int8}``).
 """
 
 from __future__ import annotations

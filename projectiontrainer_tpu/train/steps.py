@@ -108,7 +108,22 @@ def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
     single device or a DATA-only mesh (the kernel then runs per-shard under
     shard_map — losses.fused_shifted_clm_loss). pallas_call has no GSPMD partitioning
     rules, so a MODEL-sharded mesh (vocab table split across chips) keeps the chunked
-    XLA scan, which GSPMD partitions fine. Explicit ce_impl='fused' overrides."""
+    XLA scan, which GSPMD partitions fine. Explicit ce_impl='fused' overrides the
+    backend/mesh heuristics but NOT the correctness contract: the kernel returns a
+    hard-zero table cotangent, so forcing it on a run that trains the embedding
+    would silently zero those gradients — raise instead."""
+    if ce_impl == "fused":
+        if not table_frozen:
+            raise ValueError(
+                "ce_impl='fused' requires a frozen vocab table (the Pallas kernel's "
+                "table cotangent is hard zero); use 'chunked' when training the "
+                "embedding/lm-head"
+            )
+        if hidden_size is not None and hidden_size % 128 != 0:
+            raise ValueError(
+                f"ce_impl='fused' requires hidden_size % 128 == 0 (got {hidden_size})"
+            )
+        return ce_impl
     if ce_impl != "auto":
         return ce_impl
     if jax.default_backend() != "tpu" or not table_frozen:

@@ -158,3 +158,24 @@ def test_sharded_flash_plan_rejects_indivisible_shapes():
     assert sharded_flash_plan(mesh, q, k) is None
     q2, k2, _ = make_qkv(b=6, t=32, hq=4, hkv=4, d=64)  # 6 batch % data=4 != 0
     assert sharded_flash_plan(mesh, q2, k2) is None
+
+
+def test_sharded_flash_plan_rejects_replicated_multihead_kv():
+    """GQA with 1 < hkv and hkv % model_size != 0 must be rejected: a replicated
+    multi-head KV makes the per-shard kernel map local query heads onto KV heads
+    starting at 0, but globally each shard's query heads belong to a different KV
+    group — shard s>0 would attend with the wrong KV head."""
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+    from projectiontrainer_tpu.ops.flash_attention import sharded_flash_plan
+
+    mesh = build_mesh(MeshConfig(data=2, model=4))
+    # hq=32, hkv=2: hq%4==0 and (hq/4)%2==0 — the old plan accepted this wrongly
+    q, k, _ = make_qkv(b=4, t=32, hq=32, hkv=2, d=64)
+    assert sharded_flash_plan(mesh, q, k) is None
+    # hkv==1 replicated stays supported
+    q1, k1, _ = make_qkv(b=4, t=32, hq=32, hkv=1, d=64)
+    assert sharded_flash_plan(mesh, q1, k1) is not None
+    # hkv divisible by model size shards alongside Q — supported
+    q4, k4, _ = make_qkv(b=4, t=32, hq=32, hkv=4, d=64)
+    plan = sharded_flash_plan(mesh, q4, k4)
+    assert plan is not None and plan[1][2] == "model"

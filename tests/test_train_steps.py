@@ -298,3 +298,16 @@ def test_step_profiler_writes_trace(tmp_path):
     assert g.glob(str(tmp_path / "trace" / "**" / "*.trace*"), recursive=True) or \
         g.glob(str(tmp_path / "trace" / "**" / "*.pb"), recursive=True), \
         "no profiler artifacts written"
+
+
+def test_resolve_ce_impl_explicit_fused_validates_contract():
+    """Explicit ce_impl='fused' must not bypass the correctness guards: a trained
+    vocab table would silently get hard-zero gradients from the kernel's zero table
+    cotangent, and a misaligned hidden dim violates the kernel's lane contract."""
+    S = steps
+    assert S._resolve_ce_impl("chunked", table_frozen=False) == "chunked"
+    with pytest.raises(ValueError, match="frozen vocab table"):
+        S._resolve_ce_impl("fused", table_frozen=False, hidden_size=256)
+    with pytest.raises(ValueError, match="hidden_size"):
+        S._resolve_ce_impl("fused", table_frozen=True, hidden_size=72)
+    assert S._resolve_ce_impl("fused", table_frozen=True, hidden_size=256) == "fused"
