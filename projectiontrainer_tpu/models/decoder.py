@@ -216,7 +216,15 @@ def _norm(p, x, cfg: DecoderConfig):
     return L.rmsnorm(p, x, eps=cfg.rms_norm_eps, zero_centered=cfg.rmsnorm_zero_centered)
 
 
-def _proj(lp, name, x, lora_layer, lora_cfg):
+# Stable per-target indices for deriving independent LoRA-dropout streams (PEFT has
+# one dropout module per adapted projection; each draws its own mask).
+_LORA_TARGET_INDEX = {
+    "q_proj": 0, "k_proj": 1, "v_proj": 2, "o_proj": 3,
+    "gate_proj": 4, "up_proj": 5, "down_proj": 6,
+}
+
+
+def _proj(lp, name, x, lora_layer, lora_cfg, lora_rng=None):
     p = lp[name]
     if "qvalues" in p or "packed_nf4" in p:  # quantized base (ops/quant.py, QLoRA)
         from projectiontrainer_tpu.ops.quant import quantized_matmul
@@ -227,16 +235,20 @@ def _proj(lp, name, x, lora_layer, lora_cfg):
     if lora_layer is not None:
         from projectiontrainer_tpu.train import lora as lora_mod
 
-        y = lora_mod.apply_delta(lora_layer, name, lora_cfg, x, y)
+        rng = None
+        if lora_rng is not None:
+            rng = jax.random.fold_in(lora_rng, _LORA_TARGET_INDEX[name])
+        y = lora_mod.apply_delta(lora_layer, name, lora_cfg, x, y, rng=rng)
     return y
 
 
 def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
-                     kv_mask, q_offset, cache=None, lora_layer=None, lora_cfg=None):
+                     kv_mask, q_offset, cache=None, lora_layer=None, lora_cfg=None,
+                     lora_rng=None):
     b, t, _ = x.shape
-    q = _proj(lp, "q_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = _proj(lp, "k_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = _proj(lp, "v_proj", x, lora_layer, lora_cfg).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = _proj(lp, "q_proj", x, lora_layer, lora_cfg, lora_rng).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = _proj(lp, "k_proj", x, lora_layer, lora_cfg, lora_rng).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _proj(lp, "v_proj", x, lora_layer, lora_cfg, lora_rng).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:
         q = _norm(lp["q_norm"], q, cfg)
         k = _norm(lp["k_norm"], k, cfg)
@@ -259,14 +271,14 @@ def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
         kv_mask=kv_mask, q_offset=q_offset, impl=cfg.attn_impl,
     )
     out = out.reshape(b, t, cfg.num_heads * cfg.head_dim)
-    return _proj(lp, "o_proj", out, lora_layer, lora_cfg), new_cache
+    return _proj(lp, "o_proj", out, lora_layer, lora_cfg, lora_rng), new_cache
 
 
-def _mlp_block(lp, cfg: DecoderConfig, x, lora_layer=None, lora_cfg=None):
+def _mlp_block(lp, cfg: DecoderConfig, x, lora_layer=None, lora_cfg=None, lora_rng=None):
     act = L.ACTIVATIONS[cfg.act]
-    gate = act(_proj(lp, "gate_proj", x, lora_layer, lora_cfg))
-    up = _proj(lp, "up_proj", x, lora_layer, lora_cfg)
-    return _proj(lp, "down_proj", gate * up, lora_layer, lora_cfg)
+    gate = act(_proj(lp, "gate_proj", x, lora_layer, lora_cfg, lora_rng))
+    up = _proj(lp, "up_proj", x, lora_layer, lora_cfg, lora_rng)
+    return _proj(lp, "down_proj", gate * up, lora_layer, lora_cfg, lora_rng)
 
 
 def forward(
@@ -282,6 +294,7 @@ def forward(
     remat: bool = False,
     lora=None,             # optional LoRA adapter pytree ({'layers': [...]})
     lora_cfg=None,
+    lora_rng=None,         # PRNG key enabling LoRA dropout (train steps only)
 ):
     """Run the decoder. Returns (hidden_states, new_cache).
 
@@ -307,35 +320,43 @@ def forward(
     for lt in set(cfg.layer_types):
         rope_by_type[lt] = _rope_for_layer(cfg, lt, positions)
 
-    def layer_fn(x, lp, layer_type, layer_cache, lora_layer):
+    def layer_fn(x, lp, layer_type, layer_cache, lora_layer, layer_rng):
         sin, cos = rope_by_type[layer_type]
         residual = x
         h = _norm(lp["input_norm"], x, cfg)
         h, new_cache = _attention_block(
             lp["attn"], cfg, h, sin, cos, layer_type=layer_type,
             kv_mask=kv_mask, q_offset=q_offset, cache=layer_cache,
-            lora_layer=lora_layer, lora_cfg=lora_cfg,
+            lora_layer=lora_layer, lora_cfg=lora_cfg, lora_rng=layer_rng,
         )
+        mlp_rng = None if layer_rng is None else jax.random.fold_in(layer_rng, 101)
         if cfg.sandwich_norms:
             h = _norm(lp["post_attn_norm"], h, cfg)
             x = residual + h
             residual = x
             h = _norm(lp["pre_ffw_norm"], x, cfg)
-            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg)
+            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg, mlp_rng)
             h = _norm(lp["post_ffw_norm"], h, cfg)
             x = residual + h
         else:
             x = residual + h
             residual = x
             h = _norm(lp["post_attn_norm"], x, cfg)
-            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg)
+            h = _mlp_block(lp["mlp"], cfg, h, lora_layer, lora_cfg, mlp_rng)
             x = residual + h
         return x, new_cache
 
+    # Dropout only engages when an rng arrives AND the adapter config asks for it —
+    # otherwise layer rngs stay None so the traced graph is unchanged.
+    use_dropout = (
+        lora_rng is not None and lora is not None
+        and lora_cfg is not None and lora_cfg.dropout > 0.0
+    )
     new_caches = [] if cache is not None else None
     for i in range(cfg.num_layers):
         layer_cache = cache[i] if cache is not None else None
         lora_layer = lora["layers"][i] if lora is not None else None
+        layer_rng = jax.random.fold_in(lora_rng, i) if use_dropout else None
         fn = layer_fn
         if remat and layer_cache is None:
             # remat=True -> full per-layer rematerialization (min memory);
@@ -346,7 +367,8 @@ def forward(
                 if remat == "dots" else None
             )
             fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
-        x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache, lora_layer)
+        x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache, lora_layer,
+                   layer_rng)
         if new_caches is not None:
             new_caches.append(nc)
 

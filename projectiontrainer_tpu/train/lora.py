@@ -66,13 +66,22 @@ def init(key, dec_cfg: DecoderConfig, cfg: LoraConfig, dtype=jnp.float32):
     return {"layers": layers}
 
 
-def apply_delta(lora_layer_params, target: str, cfg: LoraConfig, x, y):
-    """y + scaling * (x @ A) @ B for one projection; no-op if target not adapted."""
+def apply_delta(lora_layer_params, target: str, cfg: LoraConfig, x, y, rng=None):
+    """y + scaling * (dropout(x) @ A) @ B for one projection; no-op if target not
+    adapted. ``rng`` enables PEFT-style LoRA dropout (train only — eval passes None):
+    inverted dropout on the LoRA-branch input, the base path untouched (PEFT
+    ``lora.Linear.forward``; reference LoraConfig dropout=.05 at
+    Stage2/train_vqa_stage2.py:236). ``rng=None`` or ``dropout=0`` is the identity —
+    bit-for-bit the pre-dropout behavior."""
     if lora_layer_params is None or target not in lora_layer_params:
         return y
     p = lora_layer_params[target]
     a = p["a"].astype(x.dtype)
     b = p["b"].astype(x.dtype)
+    if rng is not None and cfg.dropout > 0.0:
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        x = jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype))
     delta = jnp.dot(jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype), b,
                     preferred_element_type=jnp.float32)
     return y + cfg.scaling * delta.astype(y.dtype)

@@ -141,11 +141,11 @@ def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
 
 def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
                           remat: bool, logits_chunk: Optional[int], lora=None,
-                          lora_cfg=None, sample_weights=None, ce_impl: str = "chunked",
-                          mesh=None):
+                          lora_cfg=None, lora_rng=None, sample_weights=None,
+                          ce_impl: str = "chunked", mesh=None):
     hidden, _ = dec.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
-        remat=remat, lora=lora, lora_cfg=lora_cfg,
+        remat=remat, lora=lora, lora_cfg=lora_cfg, lora_rng=lora_rng,
     )
     if logits_chunk and ce_impl == "fused":
         table = dec.lm_head_table(params["llm"], cfg.llm)
@@ -219,13 +219,15 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
                             hidden_size=cfg.llm.hidden_size, mesh=mesh)
 
     def loss_fn(params, batch, rng):
-        del rng
+        # rng (train steps pass one; eval passes None) drives LoRA dropout — the
+        # PEFT ``lora_dropout=0.05`` semantics of the reference recipe
+        # (Stage2/train_vqa_stage2.py:236). dropout=0 or rng=None is the identity.
         if compute_dtype is not None:
             params = dtypes.cast_compute_params(params, compute_dtype)
         with _flash_ctx(mesh):
-            return _stage2_body(params, batch)
+            return _stage2_body(params, batch, rng)
 
-    def _stage2_body(params, batch):
+    def _stage2_body(params, batch, rng):
         visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
@@ -234,7 +236,8 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
         lora = params.get("lora") if lora_cfg is not None else None
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
-            lora=lora, lora_cfg=lora_cfg, sample_weights=batch.get("sample_weight"),
+            lora=lora, lora_cfg=lora_cfg, lora_rng=rng if lora is not None else None,
+            sample_weights=batch.get("sample_weight"),
             ce_impl=impl, mesh=mesh if impl == "fused" else None,
         )
         return loss, {"tokens": n_tok}

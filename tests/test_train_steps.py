@@ -311,3 +311,39 @@ def test_resolve_ce_impl_explicit_fused_validates_contract():
     with pytest.raises(ValueError, match="hidden_size"):
         S._resolve_ce_impl("fused", table_frozen=True, hidden_size=72)
     assert S._resolve_ce_impl("fused", table_frozen=True, hidden_size=256) == "fused"
+
+
+def test_lora_dropout_applied_in_train_only():
+    """VERDICT r1 item 2: LoRA dropout must (a) change the training loss when an rng
+    is supplied, (b) be disabled in eval (rng=None), and (c) reproduce the
+    no-dropout values bit-for-bit at dropout=0."""
+    cfg = tiny_vlm_cfg()
+    lcfg_drop = lora_mod.LoraConfig(r=2, alpha=4, dropout=0.5)
+    lcfg_zero = lora_mod.LoraConfig(r=2, alpha=4, dropout=0.0)
+    params = vlm.init(jax.random.key(3), cfg)
+    params["lora"] = lora_mod.init(jax.random.key(4), cfg.llm, lcfg_drop)
+    # B inits at zero (PEFT), which makes the LoRA branch a no-op — give it signal
+    # so dropout on the branch input is observable in the loss.
+    params["lora"] = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.key(5), x.shape, x.dtype),
+        params["lora"],
+    )
+    rng = np.random.default_rng(7)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+        "question_ids": jnp.asarray(rng.integers(1, 64, size=(2, 4))),
+        "answer_ids": jnp.asarray(rng.integers(1, 64, size=(2, 6))),
+    }
+
+    loss_drop = steps.stage2_loss(cfg, PAD, lora_cfg=lcfg_drop, remat=False)
+    loss_zero = steps.stage2_loss(cfg, PAD, lora_cfg=lcfg_zero, remat=False)
+
+    base = float(loss_drop(params, batch, None)[0])           # eval: no dropout
+    trained = float(loss_drop(params, batch, jax.random.key(0))[0])
+    trained2 = float(loss_drop(params, batch, jax.random.key(1))[0])
+    assert trained != base, "dropout did not change the training loss"
+    assert trained != trained2, "dropout is not rng-dependent"
+    # eval determinism: same params, rng=None -> identical
+    assert float(loss_drop(params, batch, None)[0]) == base
+    # dropout=0 with an rng is bit-for-bit the no-dropout path
+    assert float(loss_zero(params, batch, jax.random.key(0))[0]) == base
