@@ -105,6 +105,9 @@ class Stage2Config(CommonConfig):
     eval_do_sample: bool = True
     eval_top_p: float = 0.9
     eval_top_k: int = 50
+    # None = generate examples for the WHOLE eval set (the reference's behavior —
+    # Stage2/trainer.py:596-700); an int caps the number of generation batches
+    eval_example_batches: Optional[int] = None
 
     def freeze_policy(self):
         """Derived policy (reference: Stage2/train_vqa_stage2.py:121-134)."""

@@ -246,18 +246,36 @@ class Stage2Trainer:
 
     # ------------------------------------------------------------------ eval
 
-    def evaluate(self, epoch: int, *, max_example_batches: int = 1) -> dict:
+    def evaluate(self, epoch: int, *, max_example_batches: Optional[int] = None) -> dict:
+        """Val loss + generated examples. The reference generates for the WHOLE eval
+        set and gathers example strings across ranks before writing
+        (Stage2/trainer.py:596-700); ``max_example_batches`` (or config
+        ``eval_example_batches``) can cap that for quick runs — None means all."""
         cfg = self.cfg
+        if max_example_batches is None:
+            max_example_batches = getattr(cfg, "eval_example_batches", None)
         losses, examples = [], []
+        # Merge LoRA once per eval, not once per batch — adapter weights are fixed
+        # during evaluation.
+        gen_params = self.state["params"]["llm"]
+        lora = self.state["params"].get("lora")
+        if lora is not None and self.lora_cfg is not None:
+            gen_params = lora_mod.merge_into_decoder(
+                self.state["params"]["llm"], lora, self.lora_cfg)
         n = 0
         for batch in self._feed(self.val_dataset, self._val_plan or []):
             loss, _ = self.eval_step(self.state["params"], batch)
             losses.append(float(loss))
-            if n < max_example_batches:
-                examples += self._generate_examples(batch)
+            if max_example_batches is None or n < max_example_batches:
+                examples += self._generate_examples(batch, gen_params)
             n += 1
         out = {"val/loss": float(np.mean(losses)) if losses else float("nan")}
         self.logger.log({**out, "epoch": epoch}, step=self.global_step)
+        # cross-host gather of example strings (the reference's gather_object,
+        # Stage2/trainer.py:654) — every process participates, rank 0 writes
+        from projectiontrainer_tpu.parallel import distributed
+
+        examples = distributed.gather_objects(examples)
         if examples and jax.process_index() == 0:
             ex_dir = os.path.join(cfg.output_dir, "validation_examples")
             os.makedirs(ex_dir, exist_ok=True)
@@ -271,9 +289,10 @@ class Stage2Trainer:
             [int(t) for t in np.asarray(ids) if t != self.pad_id], skip_special_tokens=True
         )
 
-    def _generate_examples(self, batch) -> list[tuple[str, str, str]]:
+    def _generate_examples(self, batch, gen_params=None) -> list[tuple[str, str, str]]:
         """Generation eval: [visual; question] prefix, left-pad semantics (the reference
-        forces padding_side='left' for generation — Stage2/trainer.py:499-505)."""
+        forces padding_side='left' for generation — Stage2/trainer.py:499-505).
+        ``gen_params`` is the (LoRA-merged) decoder tree; None merges on the fly."""
         params = self.state["params"]
         cfg = self.cfg
         visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
@@ -291,10 +310,11 @@ class Stage2Trainer:
             [np.ones(visual.shape[:2], np.int32), (q_left != self.pad_id).astype(np.int32)],
             axis=1,
         )
-        lora = params.get("lora")
-        gen_params = params["llm"]
-        if lora is not None and self.lora_cfg is not None:
-            gen_params = lora_mod.merge_into_decoder(params["llm"], lora, self.lora_cfg)
+        if gen_params is None:
+            gen_params = params["llm"]
+            lora = params.get("lora")
+            if lora is not None and self.lora_cfg is not None:
+                gen_params = lora_mod.merge_into_decoder(params["llm"], lora, self.lora_cfg)
         ids = generate(
             gen_params, self.vlm_cfg.llm, embeds, jnp.asarray(mask),
             # the reference's eval decode: beam-multinomial sampling

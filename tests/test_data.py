@@ -420,3 +420,35 @@ def test_load_image_draft_decode(manifest_dir):
     assert draft.size[0] <= full.size[0]
     # default loader unchanged -> preprocessing parity preserved
     np.testing.assert_array_equal(np.asarray(full), np.asarray(I.load_image(path)))
+
+
+def test_balanced_sample_cli(tmp_path):
+    """python -m ...cli.balanced_sample writes a filtered, balanced, shuffled JSON
+    (the reference's standalone balanced_random_sample.py entry point)."""
+    import json
+
+    from projectiontrainer_tpu.cli import balanced_sample as bs
+
+    data = (
+        [{"image": f"a{i}.jpg", "problem": "q", "normal_caption": "Pneumonia"} for i in range(8)]
+        + [{"image": f"b{i}.jpg", "problem": "q", "normal_caption": "Edema"} for i in range(3)]
+        + [{"image": f"c{i}.jpg", "problem": "q", "normal_caption": "Other"} for i in range(5)]
+    )
+    src = tmp_path / "src.json"
+    src.write_text(json.dumps(data))
+    out = tmp_path / "sub" / "out.json"
+    bs.main([
+        "--input_json", str(src), "--candidate_labels", "Pneumonia, Edema",
+        "--output_path", str(out), "--sample_size", "7", "--seed", "3",
+    ])
+    got = json.loads(out.read_text())
+    labels = [s["normal_caption"] for s in got]
+    # 7 split over 2 labels -> 4 Pneumonia (remainder to first) + 3 Edema (capped)
+    assert labels.count("Pneumonia") == 4 and labels.count("Edema") == 3
+    assert "Other" not in labels
+    # deterministic under the same seed
+    bs.main([
+        "--input_json", str(src), "--candidate_labels", "Pneumonia, Edema",
+        "--output_path", str(out), "--sample_size", "7", "--seed", "3",
+    ])
+    assert json.loads(out.read_text()) == got
