@@ -194,17 +194,69 @@ def _run_ce_check():
     ga = np.asarray(g_c.astype(jnp.float32))
     gb = np.asarray(g_f.astype(jnp.float32))
     grad_rel = float(np.max(np.abs(ga - gb)) / max(np.max(np.abs(ga)), 1e-9))
-    worst = max(loss_rel, grad_rel)
+    vp_rel = _vp_parity_subprocess()
+    worst = max(loss_rel, grad_rel, vp_rel)
     return {
         "metric": "fused_ce_max_rel_diff_vs_chunked",
         "value": worst,
-        "unit": "max rel diff bf16 (loss + dhidden)",
+        "unit": "max rel diff bf16 (loss + dhidden; +vp TP mesh fp32)",
         "extra": (
             f"backend={jax.default_backend()} loss_rel={loss_rel:.2e} "
-            f"grad_rel={grad_rel:.2e} fused={ms_f:.1f}ms chunked={ms_c:.1f}ms "
+            f"grad_rel={grad_rel:.2e} vp_mesh_rel={vp_rel:.2e} "
+            f"fused={ms_f:.1f}ms chunked={ms_c:.1f}ms "
             f"speedup={ms_c / ms_f:.2f}x pass={worst < 2e-2}"
         ),
     }
+
+
+def _vp_parity_subprocess() -> float:
+    """Vocab-parallel fused CE parity on a virtual (data=4, model=2) mesh — run in a
+    CPU subprocess (the bench chip is a single device; the TP combine logic is
+    backend-independent and the Mosaic compile is already covered by the main
+    ce-check). Returns the max rel diff (loss + dhidden) vs the chunked GSPMD path."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+from projectiontrainer_tpu.train import losses
+
+mesh = build_mesh(MeshConfig(data=4, model=2))
+rng = np.random.default_rng(0)
+B, T, D, V = 8, 64, 256, 2048
+hidden = jax.device_put(jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32) * 0.5,
+                        NamedSharding(mesh, P("data")))
+table = jax.device_put(jnp.asarray(rng.normal(size=(V, D)), jnp.float32) * 0.02,
+                       NamedSharding(mesh, P("model")))
+labels = np.asarray(rng.integers(0, V, size=(B, T)))
+labels[:, :16] = -100
+labels = jax.device_put(jnp.asarray(labels), NamedSharding(mesh, P("data")))
+
+l_c, g_c = jax.jit(jax.value_and_grad(
+    lambda h: losses.chunked_shifted_clm_loss(h, table, labels, chunk_size=16)[0]))(hidden)
+l_f, g_f = jax.jit(jax.value_and_grad(
+    lambda h: losses.fused_shifted_clm_loss(h, table, labels, mesh=mesh)[0]))(hidden)
+loss_rel = abs(float(l_f) - float(l_c)) / abs(float(l_c))
+ga, gb = np.asarray(g_c), np.asarray(g_f)
+grad_rel = float(np.max(np.abs(ga - gb)) / max(np.max(np.abs(ga)), 1e-9))
+print(max(loss_rel, grad_rel))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"vp parity subprocess failed:\n{out.stderr[-2000:]}")
+    return float(out.stdout.strip().splitlines()[-1])
 
 
 def _run_pipeline(steps_n: int, out_size: int = 384):

@@ -148,7 +148,8 @@ def _prefill(params, llm_cfg, inputs_embeds, attention_mask, total_len):
 # ---------------------------------------------------------------------------- greedy/sample
 
 
-def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
+def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
+                     *, with_stats: bool = False):
     b, p, _ = inputs_embeds.shape
     total = p + cfg.max_new_tokens
     cache, logits, last_pos, full_mask = _prefill(
@@ -158,8 +159,16 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
     generated0 = jnp.full((b, cfg.max_new_tokens), -1, jnp.int32)
     done0 = jnp.zeros((b,), bool)
 
-    def body(carry, t):
-        cache, logits, generated, done, key, full_mask = carry
+    def cond(carry):
+        t = carry[0]
+        done = carry[4]
+        # early exit once every sequence hit EOS (HF `this_peer_finished`): done rows
+        # only write pad, so stopping early is output-identical and skips the
+        # remaining decoder steps entirely.
+        return (t < cfg.max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        t, cache, logits, generated, done, key, full_mask = carry
         key, sub = jax.random.split(key)
         token = _sample_token(logits, cfg, generated, sub).astype(jnp.int32)
         if cfg.eos_token_id is not None:
@@ -179,14 +188,15 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key):
             positions=positions, cache=cache, q_offset=p + t,
         )
         logits = dec.logits(params, llm_cfg, hidden[:, -1:, :])[:, 0]
-        return (cache, logits, generated, done, key, full_mask), None
+        return (t + 1, cache, logits, generated, done, key, full_mask)
 
-    carry = (cache, logits, generated0, done0, key, full_mask)
-    (cache, logits, generated, done, key, full_mask), _ = jax.lax.scan(
-        body, carry, jnp.arange(cfg.max_new_tokens)
+    carry = (jnp.zeros((), jnp.int32), cache, logits, generated0, done0, key, full_mask)
+    steps_taken, cache, logits, generated, done, key, full_mask = jax.lax.while_loop(
+        cond, body, carry
     )
-    # replace the -1 "unwritten" sentinel (shouldn't remain) and pad after eos
-    return jnp.where(generated < 0, cfg.pad_token_id, generated)
+    # replace the -1 "unwritten" sentinel (rows stopped early / shouldn't remain)
+    out = jnp.where(generated < 0, cfg.pad_token_id, generated)
+    return (out, steps_taken) if with_stats else out
 
 
 # ---------------------------------------------------------------------------- beam search
@@ -216,7 +226,7 @@ def _reorder_cache(cache, flat_src, prefix_len: int, gen_len: int, *, naive: boo
 
 
 def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
-                   *, naive_reorder: bool = False):
+                   *, naive_reorder: bool = False, with_stats: bool = False):
     """Beam search with the full HF decoding surface inside the loop.
 
     Matches HF ``GenerationMixin._beam_search`` semantics (the reference's default eval
@@ -261,8 +271,18 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
     fin_scores0 = jnp.full((b, nb), NEG_INF, jnp.float32)
     fin_gen0 = jnp.full((b, nb, max_new), -1, jnp.int32)
 
-    def body(carry, t):
-        cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key = carry
+    def cond(carry):
+        t = carry[0]
+        heur_unsat = carry[-1]
+        # HF `_beam_search_has_unfinished_sequences`: halt when NO batch can still
+        # improve on its finished set (early_stopping=False heuristic, the
+        # reference's setting) — this is what cuts wasted decode steps at the
+        # reference inference config (1024 new tokens, 3 beams).
+        return (t < max_new) & jnp.any(heur_unsat)
+
+    def body(carry):
+        (t, cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask,
+         key, heur_unsat) = carry
         key, sub = jax.random.split(key)
 
         scores = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*nb, V]
@@ -316,13 +336,15 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         else:
             is_eos = jnp.zeros(tok.shape, bool)
 
-        # -------- finished set: EOS candidates ranked within the top nb are stored with
-        # score / len^lp, len excluding the EOS (HF BeamHypotheses.add)
-        gen_len = jnp.maximum(t, 1).astype(jnp.float32)
+        # -------- finished set: EOS candidates ranked within the top nb are stored
+        # with score / len^lp, len INCLUDING the just-generated EOS — HF's vectorized
+        # `_update_finished_beams` divides by (cur_len + 1 - decoder_prompt_len),
+        # which is t + 1 generated tokens at 0-indexed step t
+        gen_len = (t + 1).astype(jnp.float32)
         ins_mask = is_eos & (jnp.arange(k2) < nb)[None, :]
-        if cfg.length_penalty > 0:
-            # HF divides by 0**lp = 0 when the first generated token is EOS → -inf score
-            ins_mask = ins_mask & (t > 0)
+        # once a batch's early-stop heuristic is satisfied its finished set is frozen
+        # (HF `_update_finished_beams`: `+ ~is_early_stop_heuristic_unsatisfied * -1e9`)
+        ins_mask = ins_mask & heur_unsat[:, None]
         ins_scores = jnp.where(
             ins_mask, top_scores / jnp.power(gen_len, cfg.length_penalty), NEG_INF
         )
@@ -357,20 +379,42 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
             positions=positions, cache=cache, q_offset=p + t,
         )
         logits = dec.logits(params, llm_cfg, hidden[:, -1:, :])[:, 0]
-        return (cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key), None
 
-    carry = (cache, logits, live_scores0, live_gen0, fin_scores0, fin_gen0, full_mask, key)
-    (cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask, key), _ = (
-        jax.lax.scan(body, carry, jnp.arange(max_new))
+        # -------- early-stop heuristic (HF `_check_early_stop_heuristic`,
+        # early_stopping=False): the best running beam, scored at the CURRENT
+        # generated length, must still beat the worst finished hypothesis for the
+        # batch to keep improving. Monotone (&=): once satisfied, stays satisfied.
+        cur_gen_len = (t + 1).astype(jnp.float32)
+        best_possible = live_scores[:, 0] / jnp.power(cur_gen_len, cfg.length_penalty)
+        worst_finished = jnp.min(fin_scores, axis=-1)  # NEG_INF while any slot empty
+        heur_unsat = heur_unsat & (best_possible > worst_finished)
+
+        return (t + 1, cache, logits, live_scores, live_gen, fin_scores, fin_gen,
+                full_mask, key, heur_unsat)
+
+    heur_unsat0 = jnp.ones((b,), bool)
+    carry = (jnp.zeros((), jnp.int32), cache, logits, live_scores0, live_gen0,
+             fin_scores0, fin_gen0, full_mask, key, heur_unsat0)
+    (steps_taken, cache, logits, live_scores, live_gen, fin_scores, fin_gen,
+     full_mask, key, heur_unsat) = jax.lax.while_loop(cond, body, carry)
+
+    # finalize: surviving live beams enter the finished set penalized at max_new
+    # tokens — but ONLY for batches that ran to max_new (heuristic still
+    # unsatisfied). A heuristic-stopped batch's finished set is frozen in HF
+    # (`_update_finished_beams` masks insertions), so its live beams must not
+    # compete here either: with lp > 1 a live beam divided by the larger max_new
+    # length could otherwise overtake the finished winner HF returns.
+    live_final = jnp.where(
+        heur_unsat[:, None],
+        live_scores / jnp.power(jnp.asarray(max_new, jnp.float32), cfg.length_penalty),
+        NEG_INF,
     )
-
-    # finalize: surviving live beams enter the finished set penalized at max_new tokens
-    live_final = live_scores / jnp.power(jnp.asarray(max_new, jnp.float32), cfg.length_penalty)
     all_scores = jnp.concatenate([fin_scores, live_final], axis=1)
     all_gen = jnp.concatenate([fin_gen, live_gen], axis=1)
     best = jnp.argmax(all_scores, axis=-1)
     out = jnp.take_along_axis(all_gen, best[:, None, None], axis=1)[:, 0]
-    return jnp.where(out < 0, cfg.pad_token_id, out)
+    out = jnp.where(out < 0, cfg.pad_token_id, out)
+    return (out, steps_taken) if with_stats else out
 
 
 # ---------------------------------------------------------------------------- public API

@@ -245,3 +245,114 @@ def _nll_bwd(scale, interpret, res, g):
 
 
 fused_clm_token_nll.defvjp(_nll_fwd, _nll_bwd)
+
+
+# ----------------------------------------------------------- vocab-parallel (TP)
+
+
+def _vp_axes(mesh):
+    from projectiontrainer_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+    dsz = mesh.shape.get(DATA_AXIS, 1)
+    data_ax = DATA_AXIS if dsz > 1 else None
+    return data_ax, MODEL_AXIS
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vp_nll(mesh, scale: float, interpret: bool):
+    """Vocab-parallel fused NLL for TP meshes, built once per (mesh, scale).
+
+    The vocab table is Megatron-sharded on its vocab dim over the MODEL axis
+    (parallel/sharding.py: ``embed_tokens/embedding -> P(MODEL, None)``), so each
+    shard runs the Pallas kernel over its OWN vocab slice — labels are rebased to the
+    slice (out-of-slice positions get -1, which matches no column, contributing zero
+    picked-logit and no one-hot in the backward). The per-shard partial results
+    combine with tree collectives over the model axis:
+
+        lse   = pmax-shifted log-sum of per-shard LSEs   (online-LSE across shards)
+        picked = psum (label lives in exactly one slice)
+        dh    = psum of per-shard dh (the vocab sum splits across shards)
+
+    This is the TP analogue of Megatron's vocab-parallel cross-entropy: the only
+    cross-chip traffic is [tokens]-sized scalars fwd and one [tokens, D] psum bwd,
+    riding ICI — the [tokens, V] logits never exist, globally or per shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
+
+    data_ax, model_ax = _vp_axes(mesh)
+    h_spec = P(data_ax, None, None)
+    t_spec = P(model_ax, None)
+    l_spec = P(data_ax, None)
+
+    def _rebase(lbl, v_local):
+        off = jax.lax.axis_index(model_ax) * v_local
+        loc = lbl - off
+        return jnp.where((loc >= 0) & (loc < v_local), loc, -1)
+
+    def fwd_local(h, w, lbl):
+        b, t1, d = h.shape
+        loc = _rebase(lbl, w.shape[0])
+        lse_s, picked_s = _fwd_call(h.reshape(-1, d), w, loc.reshape(-1),
+                                    scale, interpret)
+        m = jax.lax.pmax(lse_s, model_ax)
+        lse = m + jnp.log(jax.lax.psum(jnp.exp(lse_s - m), model_ax))
+        picked = jax.lax.psum(picked_s, model_ax)
+        return (lse - picked).reshape(b, t1), lse.reshape(b, t1)
+
+    fwd_sm = shard_map(fwd_local, mesh=mesh, in_specs=(h_spec, t_spec, l_spec),
+                       out_specs=(l_spec, l_spec), check_vma=False)
+
+    def bwd_local(h, w, lbl, lse, g):
+        b, t1, d = h.shape
+        loc = _rebase(lbl, w.shape[0])
+        dh_s = _bwd_call(h.reshape(-1, d), w, loc.reshape(-1), lse.reshape(-1),
+                         g.reshape(-1), scale, interpret)
+        return jax.lax.psum(dh_s, model_ax).reshape(h.shape)
+
+    bwd_sm = shard_map(bwd_local, mesh=mesh,
+                       in_specs=(h_spec, t_spec, l_spec, l_spec, l_spec),
+                       out_specs=h_spec, check_vma=False)
+
+    @jax.custom_vjp
+    def nll(hidden, table, labels):
+        return fwd_sm(hidden, table, labels)[0]
+
+    def nll_fwd(hidden, table, labels):
+        out, lse = fwd_sm(hidden, table, labels)
+        return out, (hidden, table, labels, lse)
+
+    def nll_bwd(res, g):
+        hidden, table, labels, lse = res
+        dh = bwd_sm(hidden, table, labels, lse, g)
+        # zero table cotangent BY CONTRACT (frozen vocab table; module docstring)
+        return dh.astype(hidden.dtype), jnp.zeros_like(table), None
+
+    nll.defvjp(nll_fwd, nll_bwd)
+    return nll
+
+
+def fused_clm_token_nll_vocab_parallel(hidden, table, labels, scale=1.0, *,
+                                       mesh, interpret=False):
+    """Per-token NLL on a TP mesh with the table vocab-sharded over MODEL.
+
+    hidden: [B, T1, D] (already shifted — the prediction positions); table: [V, D]
+    with V % model_size == 0; labels: [B, T1] int in [0, V) (mask ignored positions
+    OUTSIDE). Differentiable wrt hidden only (frozen-table contract). Works on any
+    backend (interpret mode is forced off-TPU, for virtual-mesh tests/dryruns)."""
+    from projectiontrainer_tpu.core.mesh import MODEL_AXIS
+
+    msz = mesh.shape.get(MODEL_AXIS, 1)
+    v, d = table.shape
+    if v % msz:
+        raise ValueError(f"vocab {v} must divide the model axis ({msz})")
+    b = hidden.shape[0]
+    dsz = mesh.shape.get(_vp_axes(mesh)[0], 1)
+    if b % dsz:
+        raise ValueError(f"batch {b} must divide the data axis ({dsz})")
+    interpret = bool(interpret) or jax.default_backend() != "tpu"
+    return _make_vp_nll(mesh, float(scale), interpret)(hidden, table, labels)

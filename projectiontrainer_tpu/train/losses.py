@@ -114,18 +114,24 @@ def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float =
     true for Stage 1's fully-frozen LLM and Stage 2's LoRA adapters). Trainers that
     unfreeze the embedding must use the chunked path.
 
-    ``mesh``: pass the trainer's mesh to run the kernel under a DATA-parallel mesh.
-    pallas_call has no GSPMD partitioning rules, so the per-token NLL is wrapped in
-    ``shard_map`` — each device runs the kernel on its own batch shard against the
-    (replicated) table; the masked mean afterwards is plain GSPMD. Requires the mesh's
-    model axis to be 1 (a model-sharded table needs a vocab-parallel variant — callers
-    route TP meshes to the chunked path via steps._resolve_ce_impl)."""
+    ``mesh``: pass the trainer's mesh to run the kernel sharded. pallas_call has no
+    GSPMD partitioning rules, so the per-token NLL is wrapped in ``shard_map``:
+
+    - DATA-only mesh: each device runs the kernel on its batch shard against the
+      replicated table.
+    - MODEL-sharded (TP) mesh: the vocab-parallel variant — each model shard sweeps
+      its own vocab slice (table is Megatron-sharded P(MODEL, None)) and partial
+      max/sum-exp/picked-logit combine with psum/pmax over the model axis
+      (ops.fused_ce.fused_clm_token_nll_vocab_parallel). Requires V % model_size == 0
+      (steps._resolve_ce_impl guards; otherwise the chunked path)."""
     b, t, d = hidden.shape
     labels = labels[:, 1:]
     valid = labels != IGNORE_INDEX
     safe = jnp.where(valid, labels, 0)
 
-    from projectiontrainer_tpu.ops.fused_ce import fused_clm_token_nll
+    from projectiontrainer_tpu.ops.fused_ce import (
+        fused_clm_token_nll, fused_clm_token_nll_vocab_parallel,
+    )
 
     def token_nll(h, table, lbl):
         bl = h.shape[0]
@@ -134,12 +140,12 @@ def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float =
             flat, table, lbl.reshape(-1), logits_scale, interpret
         ).reshape(bl, t - 1)
 
-    if mesh is not None and mesh.shape[DATA_AXIS] > 1:
-        if mesh.shape.get(MODEL_AXIS, 1) != 1:
-            raise ValueError(
-                "fused CE under a model-sharded mesh is unsupported (vocab table is "
-                "sharded); use the chunked path"
-            )
+    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        nll = fused_clm_token_nll_vocab_parallel(
+            hidden[:, :-1, :], embed_table, safe, logits_scale,
+            mesh=mesh, interpret=interpret,
+        )
+    elif mesh is not None and mesh.shape[DATA_AXIS] > 1:
         nll = shard_map(
             token_nll, mesh=mesh,
             in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS)),

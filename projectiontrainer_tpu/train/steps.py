@@ -102,16 +102,17 @@ def _flash_ctx(mesh):
 
 
 def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
-                     hidden_size: Optional[int] = None, mesh=None) -> str:
+                     hidden_size: Optional[int] = None, mesh=None,
+                     vocab_size: Optional[int] = None) -> str:
     """'auto' picks the Pallas fused linear+CE kernel on TPU when its contract holds
-    (ops/fused_ce.py): frozen vocab table, lane-aligned hidden dim, and either a
-    single device or a DATA-only mesh (the kernel then runs per-shard under
-    shard_map — losses.fused_shifted_clm_loss). pallas_call has no GSPMD partitioning
-    rules, so a MODEL-sharded mesh (vocab table split across chips) keeps the chunked
-    XLA scan, which GSPMD partitions fine. Explicit ce_impl='fused' overrides the
-    backend/mesh heuristics but NOT the correctness contract: the kernel returns a
-    hard-zero table cotangent, so forcing it on a run that trains the embedding
-    would silently zero those gradients — raise instead."""
+    (ops/fused_ce.py): frozen vocab table and lane-aligned hidden dim. Single device
+    and DATA-only meshes run the kernel per batch shard under shard_map; MODEL-sharded
+    (TP) meshes run the vocab-parallel variant (each shard sweeps its vocab slice,
+    partials combine over the model axis — fused_clm_token_nll_vocab_parallel), which
+    additionally needs vocab_size % model_size == 0. Explicit ce_impl='fused'
+    overrides the backend/mesh heuristics but NOT the correctness contract: the
+    kernel returns a hard-zero table cotangent, so forcing it on a run that trains
+    the embedding would silently zero those gradients — raise instead."""
     if ce_impl == "fused":
         if not table_frozen:
             raise ValueError(
@@ -134,8 +135,13 @@ def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
         return "fused"
     from projectiontrainer_tpu.core.mesh import MODEL_AXIS
 
-    if mesh is not None and mesh.shape.get(MODEL_AXIS, 1) == 1:
+    if mesh is None:
+        return "chunked"
+    msz = mesh.shape.get(MODEL_AXIS, 1)
+    if msz == 1:
         return "fused"
+    if vocab_size is not None and vocab_size % msz == 0:
+        return "fused"  # vocab-parallel kernel
     return "chunked"
 
 
@@ -173,7 +179,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
     the compute dtype inside the loss — fp32 masters, bf16 MXU matmuls. None = compute
     in the params' own dtype (exact-parity mode for tests)."""
     impl = _resolve_ce_impl(ce_impl, table_frozen=True,
-                            hidden_size=cfg.llm.hidden_size, mesh=mesh)
+                            hidden_size=cfg.llm.hidden_size, mesh=mesh,
+                            vocab_size=cfg.llm.vocab_size)
 
     def loss_fn(params, batch, rng):
         del rng
@@ -216,7 +223,8 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
     if table_frozen is None:
         table_frozen = lora_cfg is not None
     impl = _resolve_ce_impl(ce_impl, table_frozen=table_frozen,
-                            hidden_size=cfg.llm.hidden_size, mesh=mesh)
+                            hidden_size=cfg.llm.hidden_size, mesh=mesh,
+                            vocab_size=cfg.llm.vocab_size)
 
     def loss_fn(params, batch, rng):
         # rng (train steps pass one; eval passes None) drives LoRA dropout — the

@@ -99,12 +99,61 @@ def test_fused_shard_map_data_parallel_matches_chunked():
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=2e-4, atol=2e-6)
 
 
-def test_fused_shard_map_rejects_model_sharded_mesh():
+def test_fused_vocab_parallel_matches_chunked_on_tp_mesh():
+    """TP mesh (data=4, model=2): the vocab-parallel fused path — table sharded on
+    its vocab dim, per-shard kernel sweeps + psum/pmax combines — must match the
+    chunked GSPMD path in loss AND hidden-gradient (VERDICT r1 item 1)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
 
     mesh = build_mesh(MeshConfig(data=4, model=2))
     hidden, table, labels = _data(b=8, t=10, d=128, v=256, seed=6)
-    with pytest.raises(ValueError, match="model-sharded"):
+    hidden = jax.device_put(hidden, NamedSharding(mesh, P("data")))
+    labels = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    table = jax.device_put(table, NamedSharding(mesh, P("model")))
+
+    def chunked(h):
+        return losses.chunked_shifted_clm_loss(h, table, labels, chunk_size=8)[0]
+
+    def fused(h):
+        return losses.fused_shifted_clm_loss(
+            h, table, labels, interpret=True, mesh=mesh
+        )[0]
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(chunked))(hidden)
+    l_f, g_f = jax.jit(jax.value_and_grad(fused))(hidden)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref), rtol=2e-4, atol=2e-6)
+
+
+def test_fused_vocab_parallel_weighted_and_table_grad_zero():
+    """Sample weights flow through the vocab-parallel path; table cotangent stays
+    hard zero (frozen-table contract holds under TP too)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+
+    mesh = build_mesh(MeshConfig(data=2, model=4))
+    hidden, table, labels = _data(b=4, t=9, d=64, v=512, seed=8)
+    w = jnp.asarray([1.0, 0.0, 1.0, 1.0], jnp.float32)
+    l_ref, n_ref = losses.chunked_shifted_clm_loss(
+        hidden, table, labels, chunk_size=8, sample_weights=w)
+    l_f, n_f = losses.fused_shifted_clm_loss(
+        hidden, table, labels, sample_weights=w, interpret=True, mesh=mesh)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
+    assert int(n_ref) == int(n_f)
+    g_tab = jax.grad(lambda tab: losses.fused_shifted_clm_loss(
+        hidden, tab, labels, interpret=True, mesh=mesh)[0])(table)
+    assert float(jnp.max(jnp.abs(g_tab))) == 0.0
+
+
+def test_fused_vocab_parallel_rejects_indivisible_vocab():
+    from projectiontrainer_tpu.core.mesh import MeshConfig, build_mesh
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    hidden, table, labels = _data(b=8, t=10, d=128, v=255, seed=6)
+    with pytest.raises(ValueError, match="must divide"):
         losses.fused_shifted_clm_loss(hidden, table, labels, interpret=True, mesh=mesh)
 
 

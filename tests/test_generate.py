@@ -262,3 +262,126 @@ def test_beam_sampling_approx_topk_path():
     assert (a >= 0).all() and (a < jcfg.vocab_size).all()
     # near-zero temperature: exact and approx agree on the dominant candidates
     np.testing.assert_array_equal(run(5, True, 1e-4), run(6, False, 1e-4))
+
+
+def test_beam_early_stopping_matches_hf_and_cuts_steps():
+    """HF's early_stopping=False heuristic (worst-finished vs best-possible-live,
+    `_check_early_stop_heuristic`) is implemented inside the decode loop: outputs
+    must stay token-for-token HF-identical AND the loop must halt before
+    max_new_tokens when every batch's heuristic is satisfied (VERDICT r1 item 7)."""
+    from projectiontrainer_tpu.generate import decode
+
+    hf_cfg, model, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(11)
+    ids = rng.integers(1, hf_cfg.vocab_size, size=(2, 6))
+    max_new = 24
+    attn = torch.ones(ids.shape, dtype=torch.long)
+    with torch.no_grad():
+        hf_embeds = model.get_input_embeddings()(torch.tensor(ids))
+
+    def hf_generate(eos, lp):
+        with torch.no_grad():
+            return model.generate(
+                inputs_embeds=hf_embeds, attention_mask=attn,
+                max_new_tokens=max_new, do_sample=False, num_beams=3, pad_token_id=0,
+                eos_token_id=eos, length_penalty=lp, early_stopping=False,
+                use_cache=True,
+            ).numpy()
+
+    # eos = a token HF emits early so hypotheses finish fast and the heuristic fires
+    probe = hf_generate(None, 1.0)
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    mask = jnp.ones(ids.shape, jnp.int32)
+    stopped_early = False
+    for lp in (1.0, 1.2, 2.0):
+        for eos_pos in (1, 2, 3):
+            eos = int(probe[0, eos_pos])
+            hf_out = hf_generate(eos, lp)
+            ours, steps = decode._generate_beam(
+                params, jcfg, embeds, mask,
+                GenerationConfig(max_new_tokens=max_new, do_sample=False, num_beams=3,
+                                 length_penalty=lp, eos_token_id=eos, pad_token_id=0),
+                jax.random.key(0), with_stats=True,
+            )
+
+            def upto_eos(arr):
+                # HF fills its output buffer with `pad_token_id or eos` — with pad=0
+                # (falsy!) the fill is EOS, so tokens past the first EOS are buffer
+                # fill, not content. Compare content up to and incl. the first EOS.
+                arr = np.asarray(arr).copy()
+                for r in arr:
+                    hits = np.flatnonzero(r == eos)
+                    if hits.size:
+                        r[hits[0] + 1:] = 0
+                return arr
+
+            np.testing.assert_array_equal(
+                upto_eos(ours), upto_eos(_pad_hf_rows(hf_out, max_new)),
+                err_msg=f"lp={lp} eos_pos={eos_pos}",
+            )
+            stopped_early |= int(steps) < max_new
+    del stopped_early  # flat random models rarely trigger the heuristic — see below
+
+    # --- a scenario where the heuristic MUST fire: a strongly-likely EOS makes
+    # hypotheses finish fast with high per-token scores, so the best possible live
+    # continuation drops below the worst finished hypothesis within a few steps.
+    eos = 40
+    with torch.no_grad():
+        emb_w = model.get_input_embeddings().weight  # tied lm head
+        emb_w.data[eos] += 4.0 * emb_w.data.std() * torch.sign(emb_w.data.mean(0))
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    hot_params = dec.params_from_hf_state_dict(jcfg, sd)
+    with torch.no_grad():
+        hf_hot = model.generate(
+            inputs_embeds=model.get_input_embeddings()(torch.tensor(ids)),
+            attention_mask=attn, max_new_tokens=max_new, do_sample=False,
+            num_beams=3, pad_token_id=0, eos_token_id=eos, length_penalty=1.0,
+            early_stopping=False, use_cache=True,
+        ).numpy()
+    hot_embeds = dec.embed(hot_params, jcfg, jnp.asarray(ids))
+    ours, steps = decode._generate_beam(
+        hot_params, jcfg, hot_embeds, mask,
+        GenerationConfig(max_new_tokens=max_new, do_sample=False, num_beams=3,
+                         length_penalty=1.0, eos_token_id=eos, pad_token_id=0),
+        jax.random.key(0), with_stats=True,
+    )
+
+    def upto(arr):
+        arr = np.asarray(arr).copy()
+        for r in arr:
+            hits = np.flatnonzero(r == eos)
+            if hits.size:
+                r[hits[0] + 1:] = 0
+        return arr
+
+    np.testing.assert_array_equal(upto(ours), upto(_pad_hf_rows(hf_hot, max_new)))
+    assert int(steps) < max_new, "the early-stop heuristic never cut any decode steps"
+
+
+def test_sample_early_exit_when_all_eos():
+    """Greedy decode halts once every row emitted EOS; outputs are identical to the
+    full-length run (done rows only ever write pad)."""
+    from projectiontrainer_tpu.generate import decode
+
+    hf_cfg, model, jcfg, params = _tiny_hf_lm()
+    rng = np.random.default_rng(12)
+    ids = rng.integers(1, hf_cfg.vocab_size, size=(2, 5))
+    embeds = dec.embed(params, jcfg, jnp.asarray(ids))
+    mask = jnp.ones(ids.shape, jnp.int32)
+    max_new = 32
+    probe = np.asarray(generate(
+        params, jcfg, embeds, mask,
+        GenerationConfig(max_new_tokens=max_new, pad_token_id=0),
+    ))
+    eos = int(probe[0, 2])  # a token both rows emit early-ish (greedy is det.)
+    out, steps = decode._generate_sample(
+        params, jcfg, embeds, mask,
+        GenerationConfig(max_new_tokens=max_new, eos_token_id=eos, pad_token_id=0),
+        jax.random.key(0), with_stats=True,
+    )
+    out = np.asarray(out)
+    # every row ends in eos then pads; loop stopped at the last row's eos
+    eos_cols = [int(np.argmax(out[i] == eos)) for i in range(out.shape[0])]
+    assert int(steps) == max(eos_cols) + 1 < max_new
+    for i, c in enumerate(eos_cols):
+        assert (out[i, c + 1:] == 0).all()
