@@ -69,6 +69,11 @@ class Stage1Config(CommonConfig):
     enable_qlora: bool = False       # base-LLM quantized load (nf4 by default)
     quant_method: str = "nf4"        # 'nf4' (reference bitsandbytes format) | 'int8'
     expansion_factor: int = 10
+    # wandb.watch equivalent: per-parameter projector gradient norms + histograms
+    # every watch_log_freq steps (reference: train_projection_stage1.py:359-370,
+    # log_freq=100). Off by default — pulling raw grads costs host<->device bandwidth.
+    watch_gradients: bool = False
+    watch_log_freq: int = 100
     grad_clip: float = 5.0
     learning_rate: float = 1e-4
     num_epochs: int = 10

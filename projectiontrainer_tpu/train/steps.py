@@ -37,7 +37,8 @@ def _zero_grad_like(x):
     return jnp.zeros(x.shape, dtype)
 
 
-def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mask=None):
+def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mask=None,
+                    watch_subtree: Optional[str] = None):
     """loss_fn(params, batch, rng) -> (loss, aux). Returns jitted
     step(state, batch, rng) -> (state, loss, aux).
 
@@ -45,6 +46,12 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
     loss — this is what lets XLA DCE the frozen weight-gradient matmuls (dW = x^T dy),
     not just zero them after the fact. Backprop through frozen *activations* (needed to
     reach upstream trainables like the projector) is unaffected.
+
+    ``watch_subtree``: top-level params key (e.g. ``'projector'``) whose raw gradient
+    pytree is returned in ``aux['watched_grads']`` — feeds the per-parameter norm +
+    histogram logging that mirrors the reference's ``wandb.watch(projector)``
+    (Stage1/train_projection_stage1.py:359-370). Host transfer happens only when the
+    trainer actually reads it at a logging boundary.
     """
 
     def step(state, batch, rng):
@@ -81,6 +88,8 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         aux = {**aux, "grad_norm": grad_norm}
+        if watch_subtree is not None:
+            aux["watched_grads"] = grads[watch_subtree]
         return (
             {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
             loss,

@@ -66,7 +66,8 @@ class Stage1Trainer:
         loss_fn = steps.stage1_loss(vlm_cfg, pad_id, logits_chunk=logits_chunk,
                                     compute_dtype=cdtype, mesh=self.mesh)
         self.train_step = steps.make_train_step(
-            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
+            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels),
+            watch_subtree="projector" if cfg.watch_gradients else None,
         )
         # eval uses the chunked CE too: un-chunked fp32 logits at a 262k vocab OOM at
         # production eval shapes exactly where training fits (VERDICT r1 weak #1)
@@ -148,6 +149,11 @@ class Stage1Trainer:
                          "train/grad_norm": float(aux["grad_norm"]),
                          **self.timer.summary()},
                         step=self.global_step,
+                    )
+                if cfg.watch_gradients and self.global_step % cfg.watch_log_freq == 0:
+                    self.logger.log_gradient_stats(
+                        aux["watched_grads"], step=self.global_step,
+                        prefix="gradients/projector",
                     )
             epoch_loss = float(loss_sum / n_losses) if n_losses else float("nan")
             self.timer.window_end()  # epoch-end sync just happened

@@ -68,6 +68,34 @@ class MetricLogger:
         msg = " ".join(f"{k}={v:.6g}" for k, v in payload.items() if k != "time")
         self.logger.info(msg)
 
+    def log_gradient_stats(self, grads: Mapping, step: Optional[int] = None,
+                           prefix: str = "gradients"):
+        """Per-parameter gradient norms + histograms — the ``wandb.watch`` equivalent
+        (reference: Stage1/train_projection_stage1.py:359-370 watches the projector).
+        Scalar norms go to every sink; full histograms go to W&B when attached and a
+        compact (min/max/mean/std) summary to JSONL."""
+        if not self.is_main:
+            return
+        import numpy as np
+
+        from projectiontrainer_tpu.core.pytree import path_str
+
+        scalars = {}
+        hists = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+            name = f"{prefix}/{path_str(path)}"
+            arr = np.asarray(leaf, dtype=np.float32)
+            scalars[f"{name}.norm"] = float(np.linalg.norm(arr))
+            scalars[f"{name}.mean"] = float(arr.mean())
+            scalars[f"{name}.std"] = float(arr.std())
+            hists[name] = arr
+        self.log(scalars, step=step)
+        if self._wandb:
+            import wandb
+
+            self._wandb.log({k: wandb.Histogram(v.ravel()) for k, v in hists.items()},
+                            step=step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()

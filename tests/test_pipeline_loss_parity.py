@@ -188,3 +188,92 @@ def test_stage2_loss_parity(torch_stack, jax_stack):
         None,
     )
     np.testing.assert_allclose(float(loss), expected, rtol=2e-4)
+
+
+def test_stage1_multi_step_loss_curve_parity(torch_stack, jax_stack):
+    """~50 optimizer steps on identical data vs the torch reference recipe
+    (AdamW + HF cosine-with-warmup + global clip 5.0, projector-only — the actual
+    north-star fidelity statement, BASELINE 1% budget). A one-forward parity test
+    cannot catch optimizer/schedule drift; this does (VERDICT r1 item 5)."""
+    import math
+
+    from transformers import get_cosine_schedule_with_warmup
+
+    _, _, vision, llm, t_projector = torch_stack
+    cfg, params0 = jax_stack
+
+    n_steps, lr, warmup_ratio, clip, wd = 50, 1e-3, 0.1, 5.0, 0.01
+    rng = np.random.default_rng(42)
+    batches = []
+    for _ in range(4):  # cycle 4 fixed batches
+        pixels = rng.normal(size=(2, 3, 32, 32)).astype(np.float32) * 0.5
+        ids = rng.integers(1, 97, size=(2, 10))
+        ids[0, 7:] = PAD
+        batches.append((pixels, ids))
+
+    # ---- torch side: the reference Stage-1 train loop in miniature
+    import copy
+
+    projector = copy.deepcopy(t_projector).train()
+    for m in (vision, llm):
+        for p in m.parameters():
+            p.requires_grad_(False)
+    opt = torch.optim.AdamW(projector.parameters(), lr=lr, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=wd)
+    sched = get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=math.ceil(warmup_ratio * n_steps),
+        num_training_steps=n_steps)
+
+    def torch_loss(pixels, ids):
+        with torch.no_grad():
+            hidden = vision(pixel_values=torch.tensor(pixels)).last_hidden_state
+        projected = projector(hidden[:, 1:, :])
+        t_ids = torch.tensor(ids)
+        embeds = llm.get_input_embeddings()(t_ids)
+        combined = torch.cat([projected, embeds], dim=1)
+        b, v_len = projected.shape[0], projected.shape[1]
+        attn = torch.cat(
+            [torch.ones(b, v_len, dtype=torch.long), (t_ids != PAD).long()], dim=1)
+        labels = t_ids.clone()
+        labels[labels == PAD] = -100
+        labels = torch.cat(
+            [torch.full((b, v_len), -100, dtype=torch.long), labels], dim=1)
+        return llm(inputs_embeds=combined, attention_mask=attn, labels=labels).loss
+
+    t_losses = []
+    for i in range(n_steps):
+        pixels, ids = batches[i % len(batches)]
+        opt.zero_grad()
+        loss = torch_loss(pixels, ids)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(projector.parameters(), clip)
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss))
+
+    # ---- JAX side: the framework's own step machinery
+    from projectiontrainer_tpu.train import masks, optim
+
+    labels_tree = masks.stage1_labels(params0)
+    tx, _ = optim.single_group_optimizer(
+        labels_tree, lr, total_steps=n_steps, warmup_ratio=warmup_ratio,
+        clip_norm=clip, weight_decay=wd)
+    loss_fn = steps.stage1_loss(cfg, PAD, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False,
+                                 trainable_mask=masks.bool_mask(labels_tree))
+    state = steps.init_state(jax.tree.map(jnp.asarray, params0), tx)
+    j_losses = []
+    for i in range(n_steps):
+        pixels, ids = batches[i % len(batches)]
+        batch = {"pixel_values": jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+                 "caption_ids": jnp.asarray(ids)}
+        state, loss, _ = step(state, batch, jax.random.key(i))
+        j_losses.append(float(loss))
+
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    rel = np.abs(j_arr - t_arr) / np.abs(t_arr)
+    assert t_arr[-1] < t_arr[0], "torch curve did not decrease — test not meaningful"
+    assert j_arr[-1] < j_arr[0], "jax curve did not decrease"
+    # the BASELINE north-star budget is 1%; fp32 CPU agreement should be far tighter
+    assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
+    assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"

@@ -347,3 +347,41 @@ def test_lora_dropout_applied_in_train_only():
     assert float(loss_drop(params, batch, None)[0]) == base
     # dropout=0 with an rng is bit-for-bit the no-dropout path
     assert float(loss_zero(params, batch, jax.random.key(0))[0]) == base
+
+
+def test_watch_subtree_returns_projector_grads(tmp_path):
+    """watch_subtree='projector' exposes the raw projector gradient pytree in aux,
+    and MetricLogger.log_gradient_stats writes per-parameter norms (the wandb.watch
+    equivalent — reference Stage1/train_projection_stage1.py:359-370)."""
+    import json as _json
+
+    import optax
+
+    from projectiontrainer_tpu.utils.logging import MetricLogger
+
+    k = jax.random.key(0)
+    params = {
+        "projector": {"fc1": {"kernel": jax.random.normal(k, (4, 4))}},
+        "llm": {"w": jax.random.normal(jax.random.fold_in(k, 1), (4, 4))},
+    }
+    mask = {"projector": {"fc1": {"kernel": True}}, "llm": {"w": False}}
+
+    def loss_fn(p, batch, rng):
+        return jnp.sum(p["projector"]["fc1"]["kernel"] ** 2) + jnp.sum(p["llm"]["w"] ** 2), {}
+
+    tx = optax.sgd(0.1)
+    step = steps.make_train_step(loss_fn, tx, donate=False, trainable_mask=mask,
+                                 watch_subtree="projector")
+    state = steps.init_state(params, tx)
+    _, _, aux = step(state, {}, jax.random.key(1))
+    expected = np.asarray(2 * params["projector"]["fc1"]["kernel"])
+    np.testing.assert_allclose(np.asarray(aux["watched_grads"]["fc1"]["kernel"]),
+                               expected, rtol=1e-6)
+
+    logger = MetricLogger(str(tmp_path))
+    logger.log_gradient_stats(aux["watched_grads"], step=1, prefix="gradients/projector")
+    logger.close()
+    rows = [_json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    keys = set().union(*(r.keys() for r in rows))
+    assert "gradients/projector/fc1/kernel.norm" in keys
+    assert "gradients/projector/fc1/kernel.std" in keys
