@@ -308,11 +308,58 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
             )
         return n / (time.perf_counter() - t0)
 
+    def run_procs(workers: int, n: int) -> float:
+        """Process-pool feed (data/feeder.py): decode + SAMPLED augment (incl. the
+        p=0.2 native elastic path) in worker processes, shared-memory handoff —
+        the pod-scale path. Scaling is core-bound: on this 1-core VM expect ~flat;
+        a v5e-8 host (many cores) multiplies near-linearly to cover 8-chip demand."""
+        import os
+        import tempfile
+
+        from projectiontrainer_tpu.data import feeder
+
+        tmpdir = tempfile.mkdtemp(prefix="ptt_bench_feed_")
+        paths = []
+        for i, blob in enumerate(blobs):
+            p = os.path.join(tmpdir, f"{i}.jpg")
+            with open(p, "wb") as f:
+                f.write(blob)
+            paths.append(p)
+        pool = feeder.ProcessPixelPool(image_size=out_size, num_workers=workers,
+                                       slots_per_worker=8)
+        try:
+            # warm up worker imports
+            for i in range(workers):
+                pool.submit(i, paths[0], 0)
+            for _ in range(workers):
+                r = pool.poll(timeout=120)
+                pool.release(r[1])
+            inflight, submitted, got = 0, 0, 0
+            t0 = time.perf_counter()
+            while got < n:
+                while submitted < n and inflight < pool.n_slots - 1:
+                    pool.submit(submitted, paths[submitted % len(paths)], submitted)
+                    submitted += 1
+                    inflight += 1
+                r = pool.poll(timeout=120)
+                pool.release(r[1])
+                got += 1
+                inflight -= 1
+            return n / (time.perf_counter() - t0)
+        finally:
+            pool.close()
+
     n = max(steps_n * 8, 32)
     run(True, 4), run(False, 4), run_draft(4)  # warm caches
     native_ips = run(True, n)
     fallback_ips = run(False, n)
     draft_ips = run_draft(n)
+    procs1_ips = run_procs(1, n)
+    procs2_ips = run_procs(2, n)
+    import multiprocessing as _mp
+
+    cores = _mp.cpu_count()
+    demand_8chip = 8 * 33.0  # chips x stage-0 images/sec/chip target (bench stage0)
     return {
         "metric": "host_pipeline_images_per_sec",
         "value": round(native_ips, 2),
@@ -321,7 +368,10 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
                   f"draft_decode={draft_ips:.2f} "
                   f"(speedups {native_ips / fallback_ips:.2f}x / "
                   f"{draft_ips / fallback_ips:.2f}x) "
-                  f"native_available={native.native_available()} (single host core)"),
+                  f"procpool[1w]={procs1_ips:.2f} procpool[2w]={procs2_ips:.2f} "
+                  f"(host cores={cores}; v5e-8 demand ~{demand_8chip:.0f} img/s needs "
+                  f"~{demand_8chip / max(procs1_ips, 1e-9):.1f} workers at 1w rate) "
+                  f"native_available={native.native_available()}"),
     }
 
 

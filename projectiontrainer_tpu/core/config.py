@@ -32,6 +32,11 @@ class CommonConfig:
     gradient_accumulation_steps: int = 1
     seed: int = 42
     num_workers: int = 8
+    # > 0: decode+augment runs on N worker PROCESSES with shared-memory handoff
+    # (data/feeder.py) instead of the in-process thread pool — the pod-scale host
+    # feed (one v5e host drives 4-8 chips; SURVEY §7.3.6). Datasets without the
+    # pixel_job/finish_pixels protocol fall back to threads.
+    num_loader_procs: int = 0
     mesh_data: int = -1
     mesh_model: int = 1
     mixed_precision: str = "bf16"

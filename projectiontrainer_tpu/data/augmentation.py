@@ -124,15 +124,16 @@ def apply_pipeline(
 def augment_and_preprocess_fast(
     image: np.ndarray, size: int, rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
-    """Sampled augmentation + SigLIP preprocessing in (usually) ONE native pass.
+    """Sampled augmentation + SigLIP preprocessing in ONE native pass.
 
-    Samples the same parameter distribution as :func:`apply_pipeline`; the 80% of
-    images that draw no elastic transform go through the C++ fused kernel
-    (runtime/native.fused_preprocess: flip+zoom+shift+contrast+resize+normalize with
-    no intermediates); elastic draws fall back to the exact cv2 pipeline.
+    Samples the same parameter distribution as :func:`apply_pipeline`. Non-elastic
+    draws (80%) go through the C++ fused kernel (runtime/native.fused_preprocess:
+    flip+zoom+shift+contrast+resize+normalize with no intermediates); elastic draws
+    (p=0.2) go through the native elastic variant (fused_preprocess_elastic:
+    full-res affine + scipy-parity elastic warp + resize+normalize) — only the
+    Gaussian-blurred displacement fields are built host-side with cv2.
     Returns float32 [size, size, 3] in [-1, 1].
     """
-    from projectiontrainer_tpu.data.image import preprocess
     from projectiontrainer_tpu.runtime import native
 
     rng = rng or np.random.default_rng()
@@ -145,16 +146,19 @@ def augment_and_preprocess_fast(
     do_elastic = rng.random() < 0.2
 
     if do_elastic:
-        out = image
-        if do_flip:
-            out = flip_horizontal(out)
-        out = scale(out, zoom)
-        out = shift(out, dx, dy)
-        if do_contrast:
-            out = contrast(out, alpha)
-        out = elastic(out, float(rng.uniform(*ELASTIC_ALPHA)),
-                      float(rng.uniform(*ELASTIC_SIGMA)), rng=rng)
-        return preprocess(out, size)
+        e_alpha = float(rng.uniform(*ELASTIC_ALPHA))
+        e_sigma = float(rng.uniform(*ELASTIC_SIGMA))
+        h, w = image.shape[:2]
+        dispx = cv2.GaussianBlur(
+            (rng.random((h, w), dtype=np.float32) * 2 - 1), (0, 0), e_sigma
+        ) * e_alpha
+        dispy = cv2.GaussianBlur(
+            (rng.random((h, w), dtype=np.float32) * 2 - 1), (0, 0), e_sigma
+        ) * e_alpha
+        return native.fused_preprocess_elastic(
+            image, size, dispy, dispx, flip=do_flip, zoom=zoom, dx=dx, dy=dy,
+            contrast=alpha,
+        )
 
     return native.fused_preprocess(
         image, size, flip=do_flip, zoom=zoom, dx=dx, dy=dy, contrast=alpha

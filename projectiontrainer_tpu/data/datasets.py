@@ -83,6 +83,23 @@ class Stage1PairDataset:
         pixels = I.load_and_preprocess(
             sample["image"], self.image_size, self.image_root, self.image_root_2
         )
+        return self.finish_pixels(idx, pixels)
+
+    # ------------------------------------------------- process-feed protocol
+
+    def pixel_job(self, idx):
+        """(path, aug_seed) for the process-pool feeder (data/feeder.py)."""
+        try:
+            return I.resolve_image_path(
+                self.samples[idx]["image"], self.image_root, self.image_root_2
+            ), None
+        except FileNotFoundError:
+            return None, None
+
+    def finish_pixels(self, idx, pixels) -> dict:
+        if pixels is None:  # worker IO failure -> same error the sync path raises
+            return self[idx]
+        sample = self.samples[idx]
         enc = self.tokenizer(
             sample["normal_caption"], max_length=self.max_length,
             padding="max_length", truncation=True,
@@ -229,6 +246,26 @@ class ContrastiveDataset:
                 )
         except (FileNotFoundError, OSError):
             return self._invalid()
+        return self.finish_pixels(idx, pixels)
+
+    # ------------------------------------------------- process-feed protocol
+
+    def pixel_job(self, idx):
+        """(path, aug_seed) for the process-pool feeder; augmentation randomness is
+        drawn from the dataset rng here so the parent keeps the single stream."""
+        try:
+            path = I.resolve_image_path(
+                self.samples[idx]["image"], self.image_root, self.image_root_2
+            )
+        except FileNotFoundError:
+            return None, None
+        seed = int(self.rng.integers(0, 2 ** 31 - 1)) if self.augment else None
+        return path, seed
+
+    def finish_pixels(self, idx, pixels) -> dict:
+        if pixels is None:  # IO failure in the worker -> invalid placeholder
+            return self._invalid()
+        caption = str(self.samples[idx]["normal_caption"])
         enc = self.tokenizer(
             caption, padding="max_length", truncation=True, max_length=self.max_text_len,
         )

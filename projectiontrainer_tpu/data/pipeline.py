@@ -150,14 +150,28 @@ def epoch_batches(
     seed: int = 0,
     shuffle: bool = True,
     num_workers: int = 8,
+    num_procs: int = 0,
     prefetch: int = 2,
     transform=None,
 ) -> Iterator[dict]:
-    """The standard per-epoch pipeline: shard -> decode -> batch -> prefetch."""
+    """The standard per-epoch pipeline: shard -> decode -> batch -> prefetch.
+
+    ``num_procs > 0`` moves decode+augment onto worker PROCESSES with
+    shared-memory pixel handoff (data/feeder.py) for datasets implementing the
+    pixel_job/finish_pixels protocol — the pod-scale feed path."""
     from projectiontrainer_tpu.data.bucketing import fixed_batcher
 
     indices = host_shard_indices(len(dataset), epoch=epoch, seed=seed, shuffle=shuffle)
-    samples = map_samples(dataset, indices, num_workers=num_workers)
+    if num_procs > 0:
+        from projectiontrainer_tpu.data import feeder
+
+        if feeder.supports_process_feed(dataset):
+            pool = feeder.get_pool(dataset.image_size, num_procs)
+            samples = feeder.map_samples_processes(dataset, indices, pool)
+        else:
+            samples = map_samples(dataset, indices, num_workers=num_workers)
+    else:
+        samples = map_samples(dataset, indices, num_workers=num_workers)
     if batcher is None:
         batches = fixed_batcher(samples, batch_size)
     else:

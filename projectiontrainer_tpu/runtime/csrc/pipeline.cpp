@@ -161,6 +161,143 @@ void fused_preprocess(const uint8_t* src, int h, int w, int c,
   }
 }
 
+// ---------------------------------------------------------------------- elastic
+
+// scipy map_coordinates(mode='reflect') coordinate fold: period-2n symmetric
+// reflection with the residual (-1, 0) / (n-1, n) bands clamped to the edge —
+// matches scipy's NI_EXTEND_REFLECT double-coordinate mapping exactly.
+static inline float reflect_coord(float x, int n) {
+  if (n <= 1) return 0.0f;
+  const float sz2 = 2.0f * n;
+  x = std::fmod(x, sz2);
+  if (x < 0.0f) x += sz2;
+  if (x >= (float)n) x = sz2 - 1.0f - x;
+  if (x < 0.0f) x = 0.0f;
+  if (x > (float)(n - 1)) x = (float)(n - 1);
+  return x;
+}
+
+// Bilinear sample from an HWC u8 image at an IN-BOUNDS fractional coordinate
+// (callers fold with reflect_coord first); neighbor indices clamped at the edge.
+static inline void sample_bilinear_inbounds_u8(const uint8_t* src, int h, int w,
+                                               int c, float fy, float fx, float* out) {
+  int y0 = (int)fy, x0 = (int)fx;  // fy, fx >= 0
+  float ay = fy - y0, ax = fx - x0;
+  int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+  int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+  const uint8_t* p00 = src + (y0 * w + x0) * c;
+  const uint8_t* p01 = src + (y0 * w + x1) * c;
+  const uint8_t* p10 = src + (y1 * w + x0) * c;
+  const uint8_t* p11 = src + (y1 * w + x1) * c;
+  for (int k = 0; k < c; ++k) {
+    float top = p00[k] + ax * (p01[k] - p00[k]);
+    float bot = p10[k] + ax * (p11[k] - p10[k]);
+    out[k] = top + ay * (bot - top);
+  }
+}
+
+// Elastic deformation with scipy map_coordinates parity:
+//   dst(y, x) = src(reflect(y + dispy[y,x]), reflect(x + dispx[y,x]))
+// order-1 interpolation, mode='reflect', rounded half-up to u8 (scipy's integer
+// output conversion). dispy/dispx are the Gaussian-blurred displacement fields
+// (reference: augmentation.py elastic — alpha 10-20, sigma 2-3).
+void elastic_warp_u8(const uint8_t* src, int h, int w, int c,
+                     const float* dispy, const float* dispx, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const int i = y * w + x;
+      float fy = reflect_coord((float)y + dispy[i], h);
+      float fx = reflect_coord((float)x + dispx[i], w);
+      float px[8];
+      sample_bilinear_inbounds_u8(src, h, w, c, fy, fx, px);
+      uint8_t* d = dst + (size_t)i * c;
+      for (int k = 0; k < c; ++k) d[k] = (uint8_t)clampf(px[k] + 0.5f, 0.f, 255.f);
+    }
+  }
+}
+
+// One affine+contrast output pixel at FULL resolution (the fused_preprocess
+// mapping evaluated with an identity resize grid), rounded to u8.
+static inline void affine_contrast_px_u8(const uint8_t* src, int h, int w, int c,
+                                         int flip, float zoom, float dx, float dy,
+                                         float contrast_alpha, int y, int x,
+                                         uint8_t* out) {
+  float fy = (float)y - dy;
+  float fx = (float)x - dx;
+  float cy = (h - 1) * 0.5f, cx = (w - 1) * 0.5f;
+  float gy = (fy - cy) / zoom + cy;
+  float gx = (fx - cx) / zoom + cx;
+  bool outside = zoom < 1.0f && (gy < -0.5f || gy > h - 0.5f ||
+                                 gx < -0.5f || gx > w - 0.5f);
+  if (outside) {
+    for (int k = 0; k < c; ++k) out[k] = 0;
+    return;
+  }
+  gy = clampf(gy, 0.0f, (float)(h - 1));
+  gx = clampf(gx, 0.0f, (float)(w - 1));
+  if (flip) gx = (w - 1) - gx;
+  float px[8];
+  sample_bilinear_u8(src, h, w, c, gy, gx, px);
+  for (int k = 0; k < c; ++k)
+    out[k] = (uint8_t)clampf(std::round(px[k] * contrast_alpha), 0.f, 255.f);
+}
+
+// Elastic variant of fused_preprocess: flip+zoom+shift+contrast at FULL res
+// (elastic displacements are defined on full-res pixels — the reference applies
+// elastic before the final resize), then elastic warp + bilinear resize +
+// normalize fused per target pixel. Covers the p=0.2 elastic draw that
+// previously fell back to the op-by-op cv2/scipy path (round-1 VERDICT weak #5).
+void fused_preprocess_elastic(const uint8_t* src, int h, int w, int c,
+                              int flip, float zoom, float dx, float dy,
+                              float contrast_alpha,
+                              const float* dispy, const float* dispx,
+                              int size, float rescale, float mean, float std_,
+                              uint8_t* tmp /* h*w*c scratch */, float* dst) {
+  // pass 1: affine + contrast at full res
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      affine_contrast_px_u8(src, h, w, c, flip, zoom, dx, dy, contrast_alpha,
+                            y, x, tmp + ((size_t)y * w + x) * c);
+  // pass 2+3 fused: per target pixel, bilinear over the elastic-warped image's
+  // integer grid; each of the 4 needed E(y,x) values is computed on the fly
+  // (displacement lookup + bilinear over tmp, rounded to u8 like scipy), then
+  // the resize interpolant is rounded to u8 (PIL/cv2 resize emits u8) and
+  // normalized to float32.
+  const float sy = (float)h / size, sx = (float)w / size;
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      float fy = clampf((y + 0.5f) * sy - 0.5f, 0.0f, (float)(h - 1));
+      float fx = clampf((x + 0.5f) * sx - 0.5f, 0.0f, (float)(w - 1));
+      int y0 = (int)fy, x0 = (int)fx;
+      float ay = fy - y0, ax = fx - x0;
+      int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float e[4][8];
+      const int ys[4] = {y0, y0, y1, y1};
+      const int xs[4] = {x0, x1, x0, x1};
+      for (int s = 0; s < 4; ++s) {
+        const int i = ys[s] * w + xs[s];
+        float gy = reflect_coord((float)ys[s] + dispy[i], h);
+        float gx = reflect_coord((float)xs[s] + dispx[i], w);
+        sample_bilinear_inbounds_u8(tmp, h, w, c, gy, gx, e[s]);
+        for (int k = 0; k < c; ++k) e[s][k] = clampf(e[s][k] + 0.5f, 0.f, 255.f),
+                                    e[s][k] = (float)(uint8_t)e[s][k];
+      }
+      float* out = dst + ((size_t)y * size + x) * c;
+      for (int k = 0; k < c; ++k) {
+        float top = e[0][k] + ax * (e[1][k] - e[0][k]);
+        float bot = e[2][k] + ax * (e[3][k] - e[2][k]);
+        float v = clampf(top + ay * (bot - top) + 0.5f, 0.f, 255.f);
+        v = (float)(uint8_t)v;
+        out[k] = (v * rescale - mean) / std_;
+      }
+    }
+  }
+}
+
 // Batch: each image has its own augmentation params (flip/zoom/dx/dy/contrast rows).
 void fused_preprocess_batch(const uint8_t* const* srcs, const int* hs, const int* ws,
                             int c, const int* flips, const float* zooms,

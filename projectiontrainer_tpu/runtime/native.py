@@ -74,6 +74,11 @@ def _declare(lib: ctypes.CDLL):
         [u8p] + [ctypes.c_int] * 4 + [ctypes.c_float] * 4 + [ctypes.c_int]
         + [ctypes.c_float] * 3 + [f32p]
     )
+    lib.elastic_warp_u8.argtypes = [u8p] + [ctypes.c_int] * 3 + [f32p, f32p, u8p]
+    lib.fused_preprocess_elastic.argtypes = (
+        [u8p] + [ctypes.c_int] * 4 + [ctypes.c_float] * 4 + [f32p, f32p]
+        + [ctypes.c_int] + [ctypes.c_float] * 3 + [u8p, f32p]
+    )
     lib.fused_preprocess_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), i32p, i32p, ctypes.c_int, i32p, f32p, f32p,
         f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
@@ -127,6 +132,105 @@ def fused_preprocess(
         float(contrast), size, rescale, mean, std, _f32p(out),
     )
     return out
+
+
+def elastic_warp(img: np.ndarray, dispy: np.ndarray, dispx: np.ndarray) -> np.ndarray:
+    """scipy ``map_coordinates(..., order=1, mode='reflect')`` elastic warp:
+    out(y, x) = img(y + dispy[y,x], x + dispx[y,x]). Native when available."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    dispy = np.ascontiguousarray(dispy, np.float32)
+    dispx = np.ascontiguousarray(dispx, np.float32)
+    lib = _get_lib()
+    if lib is None:
+        from scipy.ndimage import map_coordinates
+
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        iy, ix = (ys + dispy).reshape(-1), (xs + dispx).reshape(-1)
+        out = np.zeros_like(img)
+        for k in range(c):
+            out[..., k] = map_coordinates(
+                img[..., k], [iy, ix], order=1, mode="reflect"
+            ).reshape(h, w)
+        return out
+    out = np.empty_like(img)
+    lib.elastic_warp_u8(_u8p(img), h, w, c, _f32p(dispy), _f32p(dispx), _u8p(out))
+    return out
+
+
+def fused_preprocess_elastic(
+    img: np.ndarray, size: int, dispy: np.ndarray, dispx: np.ndarray, *,
+    flip: bool = False, zoom: float = 1.0, dx: float = 0.0, dy: float = 0.0,
+    contrast: float = 1.0, rescale: float = 1.0 / 255.0, mean: float = 0.5,
+    std: float = 0.5,
+) -> np.ndarray:
+    """Elastic variant of :func:`fused_preprocess`: affine+contrast at full res,
+    elastic warp (scipy-reflect parity), bilinear resize + normalize — one native
+    call. Returns float32 [size, size, C] in [-1, 1]."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    dispy = np.ascontiguousarray(dispy, np.float32)
+    dispx = np.ascontiguousarray(dispx, np.float32)
+    lib = _get_lib()
+    if lib is None:
+        # numpy composition: full-res affine (the fused mapping at identity resize
+        # grid) -> elastic warp -> bilinear resize + normalize
+        full = _affine_contrast_fullres(img, bool(flip), float(zoom), float(dx),
+                                        float(dy), float(contrast))
+        warped = elastic_warp(full, dispy, dispx)
+        return _bilinear_resize_normalize(warped, size, rescale, mean, std)
+    out = np.empty((size, size, c), np.float32)
+    tmp = np.empty((h, w, c), np.uint8)
+    lib.fused_preprocess_elastic(
+        _u8p(img), h, w, c, int(flip), float(zoom), float(dx), float(dy),
+        float(contrast), _f32p(dispy), _f32p(dispx), size, rescale, mean, std,
+        _u8p(tmp), _f32p(out),
+    )
+    return out
+
+
+def _affine_contrast_fullres(img, flip, zoom, dx, dy, contrast):
+    """Full-res u8 affine+contrast — the fused mapping with an identity resize grid
+    (numpy oracle for the native elastic path's pass 1)."""
+    import cv2
+
+    h, w, _ = img.shape
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    fy, fx = ys - dy, xs - dx
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    gy = (fy - cy) / zoom + cy
+    gx = (fx - cx) / zoom + cx
+    outside = (zoom < 1.0) & (
+        (gy < -0.5) | (gy > h - 0.5) | (gx < -0.5) | (gx > w - 0.5)
+    )
+    gy = np.clip(gy, 0, h - 1)
+    gx = np.clip(gx, 0, w - 1)
+    if flip:
+        gx = (w - 1) - gx
+    sampled = cv2.remap(img, gx.astype(np.float32), gy.astype(np.float32),
+                        cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT_101)
+    out = np.clip(np.round(sampled.astype(np.float32) * contrast), 0, 255)
+    out[outside] = 0
+    return out.astype(np.uint8)
+
+
+def _bilinear_resize_normalize(img, size, rescale, mean, std):
+    """Clamped bilinear resize to u8 then normalize (numpy oracle for the native
+    elastic path's final pass)."""
+    h, w, c = img.shape
+    ys = np.clip((np.arange(size, dtype=np.float32) + 0.5) * (h / size) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(size, dtype=np.float32) + 0.5) * (w / size) - 0.5, 0, w - 1)
+    y0 = ys.astype(np.int32)
+    x0 = xs.astype(np.int32)
+    ay, ax = (ys - y0)[:, None, None], (xs - x0)[None, :, None]
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    f = img.astype(np.float32)
+    top = f[y0][:, x0] + ax * (f[y0][:, x1] - f[y0][:, x0])
+    bot = f[y1][:, x0] + ax * (f[y1][:, x1] - f[y1][:, x0])
+    v = np.floor(np.clip(top + ay * (bot - top) + 0.5, 0, 255))
+    return (v * rescale - mean) / std
 
 
 def fused_preprocess_batch(

@@ -85,6 +85,7 @@ def feed(dataset, cfg: CommonConfig, mesh, *, epoch: int, batcher=None,
     yield from pipe.epoch_batches(
         dataset, batch_size=lbs, epoch=epoch, batcher=batcher, seed=cfg.seed,
         shuffle=shuffle, num_workers=cfg.num_workers,
+        num_procs=getattr(cfg, "num_loader_procs", 0),
         transform=lambda b: shard_batch(b, mesh),
     )
 

@@ -1,0 +1,95 @@
+"""Process-pool feeder tests: shared-memory handoff, ordering, parity with the
+in-process path, fallback on failures (data/feeder.py — the pod-scale host feed)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from projectiontrainer_tpu.data import datasets, feeder
+from tests.util import make_word_tokenizer, write_jpeg
+
+
+@pytest.fixture(scope="module")
+def contrastive_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("feed_imgs")
+    samples = []
+    for i in range(6):
+        write_jpeg(root / f"img{i}.jpg", size=40, seed=i)
+        samples.append({"image": f"img{i}.jpg", "normal_caption": f"class{i % 2}"})
+    samples.append({"image": "missing.jpg", "normal_caption": "class0"})
+    manifest = root / "train.json"
+    manifest.write_text(json.dumps(samples))
+    tok = make_word_tokenizer(["class0", "class1"])
+    return datasets.ContrastiveDataset.from_json(
+        str(manifest), image_root=str(root), tokenizer=tok, image_size=24,
+    )
+
+
+@pytest.fixture(scope="module")
+def pool():
+    p = feeder.ProcessPixelPool(image_size=24, num_workers=1, slots_per_worker=4)
+    yield p
+    p.close()
+
+
+def test_protocol_detected(contrastive_ds):
+    assert feeder.supports_process_feed(contrastive_ds)
+
+
+def test_process_feed_matches_sync(contrastive_ds, pool):
+    """Order-preserving parity with in-process __getitem__ (no augmentation, so the
+    worker runs the exact PIL-bicubic preprocess path)."""
+    idx = list(range(len(contrastive_ds)))
+    got = list(feeder.map_samples_processes(contrastive_ds, idx, pool))
+    assert len(got) == len(idx)
+    for i, sample in zip(idx, got):
+        ref = contrastive_ds[i]
+        np.testing.assert_array_equal(sample["pixel_values"], ref["pixel_values"])
+        np.testing.assert_array_equal(sample["input_ids"], ref["input_ids"])
+        assert sample["class_idx"] == ref["class_idx"]
+        assert sample["valid"] == ref["valid"]
+
+
+def test_missing_image_yields_invalid(contrastive_ds, pool):
+    """The manifest's missing.jpg resolves to (None, ...) and comes back as the
+    dataset's invalid placeholder, preserving stage-0 filter semantics."""
+    last = len(contrastive_ds) - 1
+    (sample,) = list(feeder.map_samples_processes(contrastive_ds, [last], pool))
+    assert sample["valid"] == np.False_
+
+
+def test_epoch_batches_with_procs(contrastive_ds, pool):
+    """num_procs>0 pipeline path produces the same batch stream shape as threads."""
+    from projectiontrainer_tpu.data import pipeline
+
+    batches = list(pipeline.epoch_batches(
+        contrastive_ds, batch_size=3, epoch=0, seed=0, shuffle=False,
+        num_procs=1, prefetch=1,
+    ))
+    ref = list(pipeline.epoch_batches(
+        contrastive_ds, batch_size=3, epoch=0, seed=0, shuffle=False,
+        num_workers=2, prefetch=1,
+    ))
+    assert len(batches) == len(ref)
+    for b, r in zip(batches, ref):
+        np.testing.assert_array_equal(np.asarray(b["pixel_values"]),
+                                      np.asarray(r["pixel_values"]))
+
+
+def test_augment_seeds_reproducible(tmp_path):
+    """With augment=True the parent draws per-sample seeds from the dataset rng:
+    two datasets with the same seed produce identical jobs."""
+    root = tmp_path
+    write_jpeg(root / "x.jpg", size=40, seed=0)
+    manifest = root / "m.json"
+    manifest.write_text(json.dumps([{"image": "x.jpg", "normal_caption": "c"}]))
+    tok = make_word_tokenizer(["c"])
+    mk = lambda: datasets.ContrastiveDataset.from_json(
+        str(manifest), image_root=str(root), tokenizer=tok, image_size=24,
+        augment=True, seed=7,
+    )
+    a, b = mk(), mk()
+    first = a.pixel_job(0)
+    assert first == b.pixel_job(0)
+    assert a.pixel_job(0) != first  # stream advances

@@ -74,3 +74,80 @@ def test_batch_matches_single(lib_ok):
             imgs[i], 24, flip=bool(flips[i]), zoom=zooms[i]
         )
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_elastic_warp_matches_scipy(lib_ok):
+    """Native elastic warp == scipy map_coordinates(order=1, mode='reflect') exactly
+    (same displacement fields), including far out-of-bounds displacements."""
+    from scipy.ndimage import map_coordinates
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(45, 38, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    # large alpha to push coordinates well past the borders
+    dispy = (rng.random((h, w), dtype=np.float32) * 2 - 1) * 30.0
+    dispx = (rng.random((h, w), dtype=np.float32) * 2 - 1) * 30.0
+
+    ours = native.elastic_warp(img, dispy, dispx)
+
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    iy = (ys + dispy.astype(np.float64)).reshape(-1)
+    ix = (xs + dispx.astype(np.float64)).reshape(-1)
+    ref = np.zeros_like(img)
+    for k in range(c):
+        ref[..., k] = map_coordinates(img[..., k], [iy, ix], order=1,
+                                      mode="reflect").reshape(h, w)
+    # float32 vs float64 coordinate math: allow 1 LSB on a tiny fraction of pixels
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def test_fused_elastic_matches_numpy_oracle(lib_ok):
+    """Native fused elastic path == the numpy composition oracle (affine ->
+    scipy-parity elastic -> bilinear resize+normalize)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(57, 49, 3), dtype=np.uint8)
+    h, w, _ = img.shape
+    dispy = (rng.random((h, w), dtype=np.float32) * 2 - 1) * 12.0
+    dispx = (rng.random((h, w), dtype=np.float32) * 2 - 1) * 12.0
+    for kwargs in [
+        dict(),
+        dict(flip=True, zoom=1.07, dx=3.0, dy=-2.0, contrast=1.1),
+        dict(zoom=0.93, dx=-5.0, dy=4.0),
+    ]:
+        ours = native.fused_preprocess_elastic(img, 32, dispy, dispx, **kwargs)
+        full = native._affine_contrast_fullres(
+            img, kwargs.get("flip", False), kwargs.get("zoom", 1.0),
+            kwargs.get("dx", 0.0), kwargs.get("dy", 0.0), kwargs.get("contrast", 1.0),
+        )
+        warped = native.elastic_warp(full, dispy, dispx)
+        ref = native._bilinear_resize_normalize(warped, 32, 1 / 255.0, 0.5, 0.5)
+        # cv2.remap vs native bilinear rounding: ~2 LSB tolerance in [-1,1] units
+        assert np.abs(ours - ref).max() < 0.025, kwargs
+
+
+def test_augment_fast_elastic_draw_uses_native(lib_ok, monkeypatch):
+    """The p=0.2 elastic draw routes through the native fused elastic kernel (no
+    cv2 op-by-op fallback) and returns a correctly-shaped normalized tensor."""
+    from projectiontrainer_tpu.data import augmentation as A
+
+    calls = {"elastic": 0}
+    orig = native.fused_preprocess_elastic
+
+    def spy(*a, **k):
+        calls["elastic"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(native, "fused_preprocess_elastic", spy)
+    rng = np.random.default_rng(11)
+    img = np.random.default_rng(0).integers(0, 256, (64, 72, 3), dtype=np.uint8)
+    got_elastic = False
+    for _ in range(40):
+        out = A.augment_and_preprocess_fast(img, 32, rng=rng)
+        assert out.shape == (32, 32, 3) and out.dtype == np.float32
+        assert out.min() >= -1.0 - 1e-6 and out.max() <= 1.0 + 1e-6
+        if calls["elastic"]:
+            got_elastic = True
+            break
+    assert got_elastic, "40 draws at p=0.2 should hit the elastic path"
