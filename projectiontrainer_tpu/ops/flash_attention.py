@@ -460,7 +460,7 @@ def flash_attention(
     if scale is None:
         scale = d ** -0.5
     if bq == DEFAULT_BQ and bk == DEFAULT_BK and not causal and kv_mask is None:
-        bq, bk = 1024, 512
+        bq, bk = 1024, 1024
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     return out.swapaxes(1, 2)
