@@ -754,7 +754,7 @@ def main(argv=None):
     parser.add_argument("--gen_naive_reorder", action="store_true",
                         help="full-cache beam gather (the pre-optimization baseline)")
     parser.add_argument("--quant", type=str, default=None,
-                        choices=["int8", "nf4", "none"],
+                        choices=["int8", "nf4", "nf4-mirror", "none"],
                         help="base-weight format: stage2 modes default int8, gen "
                              "defaults none (bf16); nf4 = the reference bitsandbytes "
                              "4-bit format")

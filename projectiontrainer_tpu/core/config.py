@@ -73,6 +73,7 @@ class Stage1Config(CommonConfig):
     save_every_n_epochs: int = 2
     enable_qlora: bool = False       # base-LLM quantized load (nf4 by default)
     quant_method: str = "nf4"        # 'nf4' (reference bitsandbytes format) | 'int8'
+                                     # | 'nf4-mirror' (NF4 grid, block-int8 compute)
     expansion_factor: int = 10
     # wandb.watch equivalent: per-parameter projector gradient norms + histograms
     # every watch_log_freq steps (reference: train_projection_stage1.py:359-370,
@@ -95,6 +96,7 @@ class Stage2Config(CommonConfig):
     max_a_len: int = 512
     enable_qlora: bool = False
     quant_method: str = "nf4"        # 'nf4' (reference format) | 'int8' (faster step)
+                                     # | 'nf4-mirror' (NF4 grid, block-int8 compute)
     unfreeze_projection_layer: bool = False
     unfreeze_llm: bool = False
     train_ve_first_epoch: bool = False

@@ -226,7 +226,7 @@ _LORA_TARGET_INDEX = {
 
 def _proj(lp, name, x, lora_layer, lora_cfg, lora_rng=None):
     p = lp[name]
-    if "qvalues" in p or "packed_nf4" in p:  # quantized base (ops/quant.py, QLoRA)
+    if "kernel" not in p:  # quantized base (ops/quant.py QUANT_KEYS, QLoRA)
         from projectiontrainer_tpu.ops.quant import quantized_matmul
 
         y = quantized_matmul(p, x)

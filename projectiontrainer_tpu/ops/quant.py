@@ -11,9 +11,27 @@ Both methods here are TPU-native:
   vs bf16. Divergence from bitsandbytes: block scales stay fp32 (no double-quant of
   the scales — a ~0.4 bit/param storage difference, numerics unaffected).
 - **int8**: symmetric per-output-channel, 2x saving, cheapest dequant (fastest step).
+- **nf4-mirror**: NF4 quantization (identical codes/scales — same fidelity-defining
+  value grid) but computed through a block-wise int8 *compute mirror*: codes are
+  re-encoded once at load as ``round(127*CODE[c])`` int8 with ``block_scales/127``.
+  Dequant becomes a cast+scale (2 VPU ops/element) instead of a 16-entry LUT.
 
-A quantized linear is {'qvalues': int8 [in, out], 'scales': f32 [out]} (int8) or
-{'packed_nf4': uint8 [in/2, out], 'block_scales': f32 [in/64, out]} (nf4);
+The mirror exists because the NF4 codebook lookup is inherently VPU-bound on TPU:
+XLA lowers the 16-entry gather to a ~40-op compare/select chain per weight element,
+which measures 500us per 4096x4096 GEMV on v5e where the int8 path runs 16-33us
+(memory-bound optimum) — a 15x decode gap and +60% on training GEMMs. A fused
+Pallas dequant-matmul was built and measured (BENCH_EXTRA_r04.json) at only 1.2x
+over the XLA LUT path — the LUT arithmetic itself is the floor, so the fix is to
+remove the LUT from the compute path, not to fuse it. Re-encoding to the int8 grid
+perturbs each dequantized value by at most 1/254 (0.39%), an order of magnitude
+below NF4's own ~3% block-quantization error; tests/test_quant.py asserts dequant
+values within 1/254 of the exact LUT path element-wise and that a 50-step QLoRA
+loss curve over the mirror diverges from the exact-NF4 curve no more than a
+dense-bf16 control does (trajectory chaos, not quantization, sets that floor).
+
+A quantized linear is {'qvalues': int8 [in, out], 'scales': f32 [out]} (int8),
+{'packed_nf4': uint8 [in/2, out], 'block_scales': f32 [in/64, out]} (nf4), or
+{'qvalues_block': int8 [in, out], 'block_scales': f32 [in/64, out]} (nf4-mirror);
 :func:`quantized_matmul` dispatches on the keys, dequantizing into the GEMM feed so
 the MXU still sees a dense bf16 matmul.
 """
@@ -90,10 +108,41 @@ def dequantize_nf4(qp: dict, *, dtype=jnp.bfloat16) -> jnp.ndarray:
     return vals.reshape(din, dout).astype(dtype)
 
 
+def nf4_int8_mirror(qp: dict) -> dict:
+    """One-time conversion of an NF4 linear to its block-wise int8 compute mirror.
+
+    The value grid is preserved up to int8 rounding: dequant(mirror) =
+    round(127*CODE[c]) * (scale/127) vs the exact CODE[c] * scale — max relative
+    perturbation 1/254 per element (measured 3.7e-3 end-to-end), removing the
+    VPU-bound 16-entry LUT from every subsequent matmul."""
+    packed = qp["packed_nf4"]
+    half, dout = packed.shape
+    hi = (packed >> 4).astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.int32)
+    idx = jnp.stack([hi, lo], axis=1).reshape(half * 2, dout)
+    code8 = jnp.asarray(np.round(NF4_CODE * 127.0), jnp.int8)
+    out = {"qvalues_block": code8[idx],
+           "block_scales": qp["block_scales"] / 127.0}
+    if "bias" in qp:
+        out["bias"] = qp["bias"]
+    return out
+
+
+def dequantize_block_int8(qp: dict, *, dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = qp["qvalues_block"]
+    scales = qp["block_scales"]
+    din, dout = q.shape
+    block = din // scales.shape[0]
+    vals = q.astype(jnp.float32).reshape(din // block, block, dout) * scales[:, None, :]
+    return vals.reshape(din, dout).astype(dtype)
+
+
 def quantize_linear(p: dict, *, method: str = "int8") -> dict:
     """Quantize a Linear params dict {'kernel': [in,out], 'bias'?} in place-shape."""
     if method == "nf4":
         out = quantize_nf4(p["kernel"])
+    elif method == "nf4-mirror":
+        out = nf4_int8_mirror(quantize_nf4(p["kernel"]))
     else:
         out = quantize(p["kernel"], axis=0)
     if "bias" in p:
@@ -101,14 +150,19 @@ def quantize_linear(p: dict, *, method: str = "int8") -> dict:
     return out
 
 
+QUANT_KEYS = ("qvalues", "packed_nf4", "qvalues_block")
+
+
 def is_quantized(p: dict) -> bool:
-    return "qvalues" in p or "packed_nf4" in p
+    return any(k in p for k in QUANT_KEYS)
 
 
 def quantized_matmul(qp: dict, x: jnp.ndarray) -> jnp.ndarray:
     """x @ dequant(W) (+ bias). XLA fuses the dequant into the GEMM feed."""
     if "packed_nf4" in qp:
         w = dequantize_nf4(qp, dtype=x.dtype)
+    elif "qvalues_block" in qp:
+        w = dequantize_block_int8(qp, dtype=x.dtype)
     else:
         w = dequantize(qp, axis=0, dtype=x.dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -124,7 +178,8 @@ def quantize_decoder(dec_params: dict, targets=QUANT_TARGETS, *,
                      method: str = "int8") -> dict:
     """Quantize every projection matrix of a decoder pytree (embeddings/norms stay in
     their original dtype — matching the reference, where bitsandbytes only quantizes
-    nn.Linear modules). method: 'int8' | 'nf4' (the reference's bitsandbytes format)."""
+    nn.Linear modules). method: 'int8' | 'nf4' (the reference's bitsandbytes format)
+    | 'nf4-mirror' (NF4 grid, block-int8 compute — see module docstring)."""
     out = {k: v for k, v in dec_params.items() if k != "layers"}
     layers = []
     for layer in dec_params["layers"]:
@@ -149,6 +204,8 @@ def quantization_error(qp: dict, kernel) -> float:
     w = jnp.asarray(kernel, jnp.float32)
     if "packed_nf4" in qp:
         deq = dequantize_nf4(qp, dtype=jnp.float32)
+    elif "qvalues_block" in qp:
+        deq = dequantize_block_int8(qp, dtype=jnp.float32)
     else:
         deq = dequantize(qp, dtype=jnp.float32)
     err = jnp.max(jnp.abs(deq - w))

@@ -28,15 +28,16 @@ from projectiontrainer_tpu.core.pytree import path_str
 DEFAULT_RULES: Sequence[tuple[str, P]] = (
     # decoder (llm/ or bare); the quantized QLoRA base shards like its bf16 kernel:
     # int8 'qvalues' [in,out] + per-out-channel 'scales' [out]; NF4 'packed_nf4'
-    # [in/2,out] + 'block_scales' [in/64,out] (both 2-D, kernel-shaped layouts)
-    (r"attn/(q_proj|k_proj|v_proj)/(kernel|qvalues|packed_nf4|block_scales)$",
+    # [in/2,out] + 'block_scales' [in/64,out]; nf4-mirror 'qvalues_block' [in,out]
+    # (all 2-D, kernel-shaped layouts)
+    (r"attn/(q_proj|k_proj|v_proj)/(kernel|qvalues|qvalues_block|packed_nf4|block_scales)$",
      P(None, MODEL_AXIS)),
     (r"attn/(q_proj|k_proj|v_proj)/scales$", P(MODEL_AXIS)),
-    (r"attn/o_proj/(kernel|qvalues|packed_nf4|block_scales)$", P(MODEL_AXIS, None)),
-    (r"mlp/(gate_proj|up_proj)/(kernel|qvalues|packed_nf4|block_scales)$",
+    (r"attn/o_proj/(kernel|qvalues|qvalues_block|packed_nf4|block_scales)$", P(MODEL_AXIS, None)),
+    (r"mlp/(gate_proj|up_proj)/(kernel|qvalues|qvalues_block|packed_nf4|block_scales)$",
      P(None, MODEL_AXIS)),
     (r"mlp/(gate_proj|up_proj)/scales$", P(MODEL_AXIS)),
-    (r"mlp/down_proj/(kernel|qvalues|packed_nf4|block_scales)$", P(MODEL_AXIS, None)),
+    (r"mlp/down_proj/(kernel|qvalues|qvalues_block|packed_nf4|block_scales)$", P(MODEL_AXIS, None)),
     (r"embed_tokens/embedding$", P(MODEL_AXIS, None)),
     (r"lm_head/kernel$", P(None, MODEL_AXIS)),
     # lora adapters: A replicated-in, r-dim replicated; B output-sharded to match base

@@ -144,14 +144,18 @@ def synthetic_quantized_decoder(llm_cfg, *, seed: int = 0, method: str = "int8")
         return {"scale": jnp.zeros((d,), jnp.bfloat16) if zc else jnp.ones((d,), jnp.bfloat16)}
 
     def qlin(din, dout):
-        if method == "nf4":
+        if method in ("nf4", "nf4-mirror"):
             packed = _block((din // 2, dout), np.uint8,
                             lambda s: rng.integers(0, 256, size=s, dtype=np.uint8))
             block = min(64, din)
-            return {
+            qp = {
                 "packed_nf4": jnp.asarray(packed),
                 "block_scales": jnp.full((din // block, dout), 0.02, jnp.float32),
             }
+            if method == "nf4-mirror":
+                from projectiontrainer_tpu.ops.quant import nf4_int8_mirror
+                qp = jax.jit(nf4_int8_mirror)(qp)
+            return qp
         q = _block((din, dout), np.int8,
                    lambda s: rng.integers(-127, 128, size=s, dtype=np.int8))
         return {

@@ -13,7 +13,7 @@ base matmul untouched for the MXU.
 QLoRA base quantization is TPU-native here: ``ops/quant.py`` implements block-wise NF4
 (bitsandbytes codebook, packed uint8 nibbles) and int8 absmax schemes; the frozen base is
 held quantized and dequantized on the fly inside the decoder matmuls (``--enable_qlora``
-selects the scheme via ``--quant_method {nf4,int8}``).
+selects the scheme via ``--quant_method {nf4,nf4-mirror,int8}``).
 """
 
 from __future__ import annotations
@@ -95,12 +95,17 @@ def merge_into_decoder(dec_params, lora_params, cfg: LoraConfig):
         for t, p in layer.items():
             dst = merged["layers"][i]["attn"] if t in attn_targets else merged["layers"][i]["mlp"]
             tp = dst[t]
-            if "qvalues" in tp or "packed_nf4" in tp:
-                # quantized base (int8 or nf4): dequantize to dense bf16 first
-                from projectiontrainer_tpu.ops.quant import dequantize, dequantize_nf4
+            if "kernel" not in tp:
+                # quantized base (int8 / nf4 / nf4-mirror): dequantize to dense bf16
+                from projectiontrainer_tpu.ops.quant import (
+                    dequantize, dequantize_block_int8, dequantize_nf4)
 
-                w = (dequantize_nf4(tp, dtype=jnp.bfloat16) if "packed_nf4" in tp
-                     else dequantize(tp, dtype=jnp.bfloat16))
+                if "packed_nf4" in tp:
+                    w = dequantize_nf4(tp, dtype=jnp.bfloat16)
+                elif "qvalues_block" in tp:
+                    w = dequantize_block_int8(tp, dtype=jnp.bfloat16)
+                else:
+                    w = dequantize(tp, dtype=jnp.bfloat16)
                 tp = {"kernel": w, **({"bias": tp["bias"]} if "bias" in tp else {})}
             w = tp["kernel"]
             delta = (p["a"].astype(jnp.float32) @ p["b"].astype(jnp.float32)) * cfg.scaling

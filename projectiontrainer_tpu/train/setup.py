@@ -45,8 +45,10 @@ def build_vlm(
     while trainable-by-default parts stay in ``param_dtype``. ``quantize_llm`` applies
     weight-only quantization to the decoder projections — the ``--enable_qlora``
     base-weight path. ``quant_method``: 'nf4' (block-wise 4-bit, the reference's
-    bitsandbytes format — Stage2/train_vqa_stage2.py:171-177) or 'int8' (2x memory of
-    nf4 but the cheapest dequant, i.e. fastest step)."""
+    bitsandbytes format — Stage2/train_vqa_stage2.py:171-177), 'nf4-mirror' (the same
+    NF4 value grid re-encoded once as block-int8 for LUT-free compute: 15x faster
+    decode, +60%% training GEMM, <=0.4%% value perturbation — ops/quant.py), or 'int8'
+    (2x memory of nf4, per-channel scales, cheapest dequant)."""
     for path in (vision_model_name, llm_name):
         if not os.path.isdir(path):
             raise FileNotFoundError(
