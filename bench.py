@@ -584,7 +584,7 @@ def _init_full_params(cfg, *, quantize=False, quant_method="int8"):
 
 
 def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
-                quant_method: str = "int8"):
+                quant_method: str = "int8", lora_dropout: float | None = None):
     """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
     import time
 
@@ -595,7 +595,8 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     from projectiontrainer_tpu.train import lora as lora_mod, masks, optim, steps
 
     cfg = _full_vlm_cfg(model)
-    lcfg = lora_mod.LoraConfig(r=16, alpha=32)
+    lcfg = (lora_mod.LoraConfig(r=16, alpha=32) if lora_dropout is None
+            else lora_mod.LoraConfig(r=16, alpha=32, dropout=lora_dropout))
     params = _init_full_params(cfg, quantize=True, quant_method=quant_method)
     params["lora"] = lora_mod.init(jax.random.key(1), cfg.llm, lcfg)
     labels = masks.stage2_labels(
@@ -758,6 +759,10 @@ def main(argv=None):
                         help="base-weight format: stage2 modes default int8, gen "
                              "defaults none (bf16); nf4 = the reference bitsandbytes "
                              "4-bit format")
+    parser.add_argument("--lora_dropout", type=float, default=None,
+                        help="stage2 modes: LoRA dropout override (default: the "
+                             "LoraConfig default, i.e. the reference's 0.05); 0 "
+                             "isolates the dropout-mask cost")
     args = parser.parse_args(argv)
 
     import jax
@@ -791,7 +796,8 @@ def main(argv=None):
             model = "qwen3-8b" if args.mode == "stage2-8b" else "gemma3-1b"
             batch = min(args.batch, 4) if model == "gemma3-1b" else min(args.batch, 2)
             result = _run_stage2(batch, args.steps, args.warmup, model=model,
-                                 quant_method=args.quant or "int8")
+                                 quant_method=args.quant or "int8",
+                                 lora_dropout=args.lora_dropout)
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))

@@ -66,6 +66,25 @@ def init(key, dec_cfg: DecoderConfig, cfg: LoraConfig, dtype=jnp.float32):
     return {"layers": layers}
 
 
+def dropout_stream(rng):
+    """Re-key a threefry PRNG key onto the ``rbg`` implementation for the LoRA
+    dropout stream.
+
+    Dropout draws one bernoulli mask per adapted projection per layer — ~1e10
+    random bits per stage-2 step on an 8B model (doubled under remat). Threefry
+    synthesizes those bits in ~10 VPU ops per 32-bit word, which measurably taxes
+    the train step; ``rbg`` keys generate bits with the hardware ``RngBitGenerator``
+    instead. ``fold_in``/``split`` still work on rbg keys, so the per-layer,
+    per-target stream derivation in models/decoder.py is unchanged. Statistical
+    semantics are identical (independent bernoulli masks); only the bit generator
+    differs, so masks differ from the threefry stream draw-for-draw — acceptable
+    for dropout, whose contract is distributional."""
+    if rng is None:
+        return None
+    data = jax.random.bits(rng, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="rbg")
+
+
 def apply_delta(lora_layer_params, target: str, cfg: LoraConfig, x, y, rng=None):
     """y + scaling * (dropout(x) @ A) @ B for one projection; no-op if target not
     adapted. ``rng`` enables PEFT-style LoRA dropout (train only — eval passes None):
@@ -78,13 +97,22 @@ def apply_delta(lora_layer_params, target: str, cfg: LoraConfig, x, y, rng=None)
     p = lora_layer_params[target]
     a = p["a"].astype(x.dtype)
     b = p["b"].astype(x.dtype)
+    scale = cfg.scaling
     if rng is not None and cfg.dropout > 0.0:
-        keep = 1.0 - cfg.dropout
-        mask = jax.random.bernoulli(rng, keep, x.shape)
-        x = jnp.where(mask, x / jnp.asarray(keep, x.dtype), jnp.zeros((), x.dtype))
+        # bernoulli(keep) as a 16-bit threshold test: 2 VPU ops/element vs ~6 for
+        # the f32-uniform path (bits+shift+or+bitcast+sub+cmp) — this runs over
+        # every LoRA-branch input element, ~1e10/step on an 8B model. The keep
+        # probability is quantized to 1/65536 (|Δp| <= 8e-6); the inverted-dropout
+        # rescale uses that EXACT effective keep and — by linearity of
+        # (mask*x) @ A @ B — is folded into the scalar branch scale instead of a
+        # per-element divide.
+        thresh = min(int(round((1.0 - cfg.dropout) * 65536.0)), 65535)
+        bits = jax.random.bits(rng, x.shape, "uint16")
+        x = jnp.where(bits < jnp.uint16(thresh), x, jnp.zeros((), x.dtype))
+        scale = scale * (65536.0 / thresh)
     delta = jnp.dot(jnp.dot(x, a, preferred_element_type=jnp.float32).astype(x.dtype), b,
                     preferred_element_type=jnp.float32)
-    return y + cfg.scaling * delta.astype(y.dtype)
+    return y + scale * delta.astype(y.dtype)
 
 
 def merge_into_decoder(dec_params, lora_params, cfg: LoraConfig):

@@ -22,6 +22,7 @@ from projectiontrainer_tpu.models import siglip, vlm
 from projectiontrainer_tpu.models import classifier as cls_model
 from projectiontrainer_tpu.core import dtypes
 from projectiontrainer_tpu.core import mesh as mesh_mod
+from projectiontrainer_tpu.train import lora as lora_mod
 from projectiontrainer_tpu.train import losses
 
 
@@ -251,9 +252,13 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
             question_ids=batch["question_ids"], answer_ids=batch["answer_ids"],
         )
         lora = params.get("lora") if lora_cfg is not None else None
+        # hardware-RNG dropout stream: threefry mask synthesis costs ~25% of an 8B
+        # QLoRA step (bench --lora_dropout A/B); rbg re-key removes it (train/lora.py)
+        lora_rng = (lora_mod.dropout_stream(rng)
+                    if lora is not None and lora_cfg.dropout > 0.0 else None)
         loss, n_tok = _clm_loss_from_embeds(
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
-            lora=lora, lora_cfg=lora_cfg, lora_rng=rng if lora is not None else None,
+            lora=lora, lora_cfg=lora_cfg, lora_rng=lora_rng,
             sample_weights=batch.get("sample_weight"),
             ce_impl=impl, mesh=mesh if impl == "fused" else None,
         )
