@@ -743,8 +743,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--remat", type=str, default=None,
-                        choices=["full", "dots", "none"],
-                        help="per-mode defaults when omitted: stage1 'dots' (measured "
+                        help="'full' | 'dots' | 'none' | integer N (stage0 only: "
+                             "checkpoint the first N vision layers — partial remat). "
+                             "Per-mode defaults when omitted: stage1 'dots' (measured "
                              "~6%% faster than full on v5e), stage0 'none'")
     parser.add_argument("--img_size", type=int, default=384,
                         help="pipeline mode: output image size (stage-0 uses 512)")
@@ -781,7 +782,11 @@ def main(argv=None):
             # the global --batch default (8) is stage-1's; stage-0's reference
             # per-device batch is 16. --remat full/dots enables vision-tower remat
             # (needed for batch >= 32); the stage-0 default is none.
-            remat0 = {"full": True, "dots": "dots", "none": False, None: False}[args.remat]
+            if args.remat and args.remat.isdigit():
+                remat0 = int(args.remat)  # partial: checkpoint the first N vision layers
+            else:
+                remat0 = {"full": True, "dots": "dots", "none": False,
+                          None: False}[args.remat]
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0)
         elif args.mode == "pipeline":

@@ -206,18 +206,25 @@ def _map_head(p, cfg: VisionConfig, x):
 
 def vision_forward(params, cfg: VisionConfig, pixel_values, *, remat: bool = False):
     """pixel_values: [B, H, W, C] (NHWC; converted from the processor's NCHW at the data
-    layer). Returns (last_hidden_state [B, P, D], pooled [B, D] or None)."""
+    layer). Returns (last_hidden_state [B, P, D], pooled [B, D] or None).
+
+    ``remat``: False | True (checkpoint every layer, full policy) | 'dots' (checkpoint
+    every layer, matmul outputs saveable) | int k > 0 (checkpoint only the FIRST k
+    layers, full policy). Partial remat is the memory/speed sweet spot when the plain
+    path misses HBM by a sliver: each checkpointed layer frees its activation internals
+    (~0.7 GB at so400m-512 batch 32) for ~1/num_layers extra forward FLOPs, where
+    full-tower 'dots' SAVES every matmul output and can exceed the no-remat footprint."""
     x = L.conv_patchify(params["patch_embedding"], pixel_values, patch=cfg.patch_size)
     x = x + params["position_embedding"]["embedding"][None].astype(x.dtype)
-    layer = _encoder_layer
-    if remat:
-        policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            if remat == "dots" else None
-        )
-        layer = jax.checkpoint(_encoder_layer, static_argnums=(1,), policy=policy)
-    for lp in params["layers"]:
-        x = layer(lp, cfg, x)
+    if remat is True or remat == "dots":
+        n_remat = len(params["layers"])
+    else:
+        n_remat = remat if isinstance(remat, int) else 0
+    policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+              if remat == "dots" else None)
+    ckpt_layer = jax.checkpoint(_encoder_layer, static_argnums=(1,), policy=policy)
+    for i, lp in enumerate(params["layers"]):
+        x = (ckpt_layer if i < n_remat else _encoder_layer)(lp, cfg, x)
     x = L.layernorm(params["post_layernorm"], x, eps=cfg.layer_norm_eps)
     pooled = _map_head(params["head"], cfg, x) if "head" in params else None
     return x, pooled

@@ -385,3 +385,32 @@ def test_watch_subtree_returns_projector_grads(tmp_path):
     keys = set().union(*(r.keys() for r in rows))
     assert "gradients/projector/fc1/kernel.norm" in keys
     assert "gradients/projector/fc1/kernel.std" in keys
+
+
+def test_partial_remat_matches_plain_forward_and_grads():
+    """siglip.vision_forward remat=k (checkpoint only the first k layers) is a pure
+    memory knob: loss and gradients are bit-identical to the no-remat path."""
+    cfg = siglip.SiglipConfig(
+        vision=siglip.VisionConfig(hidden_size=16, intermediate_size=32, num_layers=3,
+                                   num_heads=2, image_size=16, patch_size=8),
+        text=siglip.TextConfig(hidden_size=16, intermediate_size=32, num_layers=2,
+                               num_heads=2, vocab_size=50, max_position_embeddings=8),
+    )
+    params = siglip.init(jax.random.key(5), cfg)
+    rng = np.random.default_rng(6)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 50, size=(2, 8))),
+    }
+
+    def run(remat):
+        loss_fn = steps.stage0_loss(cfg, remat=remat)
+        val, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, None)[0])(params)
+        return float(val), grads
+
+    v_plain, g_plain = run(False)
+    for remat in (2, True):
+        v_r, g_r = run(remat)
+        assert v_r == v_plain
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_plain)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
