@@ -250,9 +250,14 @@ ga, gb = np.asarray(g_c), np.asarray(g_f)
 grad_rel = float(np.max(np.abs(ga - gb)) / max(np.max(np.abs(ga)), 1e-9))
 print(max(loss_rel, grad_rel))
 """
+    # sitecustomize registers the PJRT TPU plugin at interpreter startup — BEFORE
+    # the -c code's JAX_PLATFORMS line runs — and would contend for the chip the
+    # parent bench holds; sanitize the env like data/feeder.py does for its workers
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"vp parity subprocess failed:\n{out.stderr[-2000:]}")
@@ -328,12 +333,17 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
         pool = feeder.ProcessPixelPool(image_size=out_size, num_workers=workers,
                                        slots_per_worker=8)
         try:
+            def poll_or_die():
+                r = pool.poll(timeout=120)
+                if r is None:
+                    raise RuntimeError("feeder worker stalled: no result in 120s")
+                return r
+
             # warm up worker imports
             for i in range(workers):
                 pool.submit(i, paths[0], 0)
             for _ in range(workers):
-                r = pool.poll(timeout=120)
-                pool.release(r[1])
+                pool.release(poll_or_die()[1])
             inflight, submitted, got = 0, 0, 0
             t0 = time.perf_counter()
             while got < n:
@@ -341,8 +351,7 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
                     pool.submit(submitted, paths[submitted % len(paths)], submitted)
                     submitted += 1
                     inflight += 1
-                r = pool.poll(timeout=120)
-                pool.release(r[1])
+                pool.release(poll_or_die()[1])
                 got += 1
                 inflight -= 1
             return n / (time.perf_counter() - t0)
@@ -732,6 +741,22 @@ def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
     }
 
 
+def _parse_remat(value, *, default, allow_int: bool):
+    """--remat lost its argparse choices= when integers were allowed (stage0 partial
+    remat); validate here with a clean error instead of a KeyError."""
+    if value is None:
+        return default
+    named = {"full": True, "dots": "dots", "none": False}
+    if value in named:
+        return named[value]
+    if value.isdigit():
+        if allow_int:
+            return int(value)
+        raise SystemExit(f"--remat {value}: integer (partial) remat is stage0-only")
+    raise SystemExit(f"--remat must be full|dots|none{'|<int>' if allow_int else ''}, "
+                     f"got {value!r}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -782,11 +807,7 @@ def main(argv=None):
             # the global --batch default (8) is stage-1's; stage-0's reference
             # per-device batch is 16. --remat full/dots enables vision-tower remat
             # (needed for batch >= 32); the stage-0 default is none.
-            if args.remat and args.remat.isdigit():
-                remat0 = int(args.remat)  # partial: checkpoint the first N vision layers
-            else:
-                remat0 = {"full": True, "dots": "dots", "none": False,
-                          None: False}[args.remat]
+            remat0 = _parse_remat(args.remat, default=False, allow_int=True)
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0)
         elif args.mode == "pipeline":
@@ -816,7 +837,7 @@ def main(argv=None):
     s1_quant = args.quant or ("int8" if s1_model == "qwen3-8b" else "none")
     batch = args.batch if not tiny else 4
 
-    remat = {"full": True, "dots": "dots", "none": False}[args.remat or "dots"]
+    remat = _parse_remat(args.remat, default="dots", allow_int=False)
     step, state, batch_data = _build_stage1(
         batch, tiny, remat=remat, quant_method=s1_quant, model=s1_model
     )

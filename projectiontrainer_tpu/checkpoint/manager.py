@@ -53,9 +53,14 @@ class CheckpointManager:
             return
         from jax.experimental import multihost_utils
 
+        import zlib
+
         step = state.get("step") if isinstance(state, dict) else None
+        # crc32, NOT hash(): Python's str hash is salted per process, so hash(name)
+        # differs across hosts and would trip this assert on every in-sync save
         local = np.array(
-            [hash(name) % (2**31), -1 if step is None else int(jax.device_get(step))],
+            [zlib.crc32(name.encode()) & 0x7FFFFFFF,
+             -1 if step is None else int(jax.device_get(step))],
             dtype=np.int64,
         )
         gathered = multihost_utils.process_allgather(local)

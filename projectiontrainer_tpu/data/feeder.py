@@ -37,12 +37,21 @@ import collections
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import time
 from multiprocessing import shared_memory
 from typing import Iterator, Optional
 
 import numpy as np
 
 _SENTINEL = ("__stop__",)
+
+# Tickets crossing the worker queues are (stream_gen << _TICKET_BITS) | ticket —
+# a generation tag per sample stream, so an ABANDONED stream (consumer raised or
+# the feed was dropped mid-epoch) cannot poison the next one: its late results
+# carry the old generation and poll() silently reclaims their slots instead of
+# returning them against the new stream's colliding ticket numbers.
+_TICKET_BITS = 40
+_TICKET_MASK = (1 << _TICKET_BITS) - 1
 
 
 def _worker_main(shm_name: str, n_slots: int, size: int, channels: int,
@@ -130,23 +139,41 @@ class ProcessPixelPool:
                 os.environ["JAX_PLATFORMS"] = prev_platforms
         self._free = collections.deque(range(self.n_slots))
         self._closed = False
+        self._stream_gen = 0
 
     # -------------------------------------------------------------- submission
 
     def has_free_slot(self) -> bool:
         return bool(self._free)
 
+    def new_stream(self):
+        """Start a new sample stream: outstanding tickets from any previous stream
+        become stale — their slots are reclaimed as their results drain through
+        poll() — and ticket numbering may restart at 0 without collisions."""
+        self._stream_gen += 1
+
     def submit(self, ticket: int, path: str, aug_seed: Optional[int]) -> int:
         slot = self._free.popleft()
-        self._task_q.put((ticket, slot, path, aug_seed))
+        self._task_q.put(
+            ((self._stream_gen << _TICKET_BITS) | ticket, slot, path, aug_seed)
+        )
         return slot
 
     def poll(self, timeout: Optional[float] = None):
-        """Next finished (ticket, slot, ok), or None on timeout."""
-        try:
-            return self._result_q.get(timeout=timeout)
-        except queue_mod.Empty:
-            return None
+        """Next finished (ticket, slot, ok) for the CURRENT stream, or None on
+        timeout. Stale results from pre-new_stream() submissions are consumed
+        internally and their slots freed."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            wait = None if deadline is None else max(0.0, deadline - time.monotonic())
+            try:
+                tagged, slot, ok = self._result_q.get(timeout=wait)
+            except queue_mod.Empty:
+                return None
+            if (tagged >> _TICKET_BITS) != self._stream_gen:
+                self._free.append(slot)  # abandoned-stream slot reclaimed
+                continue
+            return tagged & _TICKET_MASK, slot, ok
 
     def take(self, slot: int) -> np.ndarray:
         """Copy the slot's pixels out and free the slot."""
@@ -214,6 +241,7 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
     fall back to in-process ``dataset[idx]`` semantics via ``finish_pixels``.
     """
     indices = [int(i) for i in indices]
+    pool.new_stream()  # invalidate any abandoned prior stream's tickets/slots
     if max_inflight is None:
         max_inflight = pool.n_slots - 1
     inflight: dict[int, int] = {}          # ticket -> slot
@@ -250,12 +278,21 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
             _submit_more()
         if next_yield >= n:
             break
-        result = pool.poll(timeout=120.0)
-        if result is None:
-            raise RuntimeError(
-                "process feeder stalled: no worker result within 120s "
-                f"({len(inflight)} in flight)"
-            )
+        # short-poll loop: draining an abandoned stream's stale results inside
+        # poll() frees slots, so re-run _submit_more between polls — otherwise a
+        # stream starting with zero free slots could wait forever on work it was
+        # never able to submit
+        deadline = time.monotonic() + 120.0
+        while True:
+            result = pool.poll(timeout=2.0)
+            _submit_more()
+            if result is not None:
+                break
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    "process feeder stalled: no worker result within 120s "
+                    f"({len(inflight)} in flight)"
+                )
         ticket, slot, ok = result
         inflight.pop(ticket, None)
         if ok:

@@ -460,7 +460,12 @@ def flash_attention(
     if scale is None:
         scale = d ** -0.5
     if bq == DEFAULT_BQ and bk == DEFAULT_BK and not causal and kv_mask is None:
-        bq, bk = 1024, 1024
+        # bigger blocks amortize per-program overhead (measured 7.04 vs 7.86ms at
+        # T=1024 D=72) — but ONLY when they don't inflate the padded length: at
+        # T=576 (ViT-L/16-384) 1024-blocks would pad to 1024 where 256-blocks pad
+        # to 768, a 1.78x score-matmul blowup that dwarfs the overhead saving
+        if _pick_blocks(t, 1024, 1024)[2] <= _pick_blocks(t, bq, bk)[2]:
+            bq, bk = 1024, 1024
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     return out.swapaxes(1, 2)

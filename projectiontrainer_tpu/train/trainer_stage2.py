@@ -255,19 +255,31 @@ class Stage2Trainer:
         if max_example_batches is None:
             max_example_batches = getattr(cfg, "eval_example_batches", None)
         losses, examples = [], []
-        # Merge LoRA once per eval, not once per batch — adapter weights are fixed
-        # during evaluation.
-        gen_params = self.state["params"]["llm"]
-        lora = self.state["params"].get("lora")
-        if lora is not None and self.lora_cfg is not None:
-            gen_params = lora_mod.merge_into_decoder(
-                self.state["params"]["llm"], lora, self.lora_cfg)
+
+        # Merge LoRA lazily, once per eval (adapter weights are fixed during
+        # evaluation) — and only if a batch actually generates examples: the merged
+        # DENSE decoder is ~16 GB for an 8B model whose quantized base + eval-step
+        # activations already fill the chip, so it must not exist while plain
+        # eval-loss batches run (eval_example_batches caps the window) nor at all
+        # when eval_example_batches=0.
+        def merged_gen_params():
+            lora = self.state["params"].get("lora")
+            if lora is not None and self.lora_cfg is not None:
+                return lora_mod.merge_into_decoder(
+                    self.state["params"]["llm"], lora, self.lora_cfg)
+            return self.state["params"]["llm"]
+
+        gen_params = None
         n = 0
         for batch in self._feed(self.val_dataset, self._val_plan or []):
             loss, _ = self.eval_step(self.state["params"], batch)
             losses.append(float(loss))
             if max_example_batches is None or n < max_example_batches:
+                if gen_params is None:
+                    gen_params = merged_gen_params()
                 examples += self._generate_examples(batch, gen_params)
+            else:
+                gen_params = None  # free the dense merge for the remaining batches
             n += 1
         out = {"val/loss": float(np.mean(losses)) if losses else float("nan")}
         self.logger.log({**out, "epoch": epoch}, step=self.global_step)

@@ -93,3 +93,28 @@ def test_augment_seeds_reproducible(tmp_path):
     first = a.pixel_job(0)
     assert first == b.pixel_job(0)
     assert a.pixel_job(0) != first  # stream advances
+
+
+def test_abandoned_stream_does_not_poison_next(contrastive_ds, pool):
+    """A generator dropped mid-epoch leaves in-flight tickets/slots behind; the next
+    stream must still yield the CORRECT pixels for every index (stream-generation
+    ticket tagging: stale results are reclaimed, never matched to new tickets)."""
+    idx = list(range(len(contrastive_ds) - 1))  # valid images only
+
+    # abandon a stream after the first sample: its remaining in-flight results
+    # land in the shared result queue with the old generation
+    g = feeder.map_samples_processes(contrastive_ds, idx, pool)
+    next(g)
+    g.close()
+
+    # the very next stream over DIFFERENT indices (reversed) must see its own data
+    rev = list(reversed(idx))
+    got = list(feeder.map_samples_processes(contrastive_ds, rev, pool))
+    assert len(got) == len(rev)
+    for i, sample in zip(rev, got):
+        ref = contrastive_ds[i]
+        np.testing.assert_array_equal(sample["pixel_values"], ref["pixel_values"])
+        assert sample["class_idx"] == ref["class_idx"]
+
+    # and the pool's slots were all reclaimed (no leak across the two streams)
+    assert len(pool._free) == pool.n_slots
