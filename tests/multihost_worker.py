@@ -56,7 +56,10 @@ def main():
     cfg = Stage1Config(
         image_root=root, train_json=manifest, output_dir=os.path.join(workdir, "out"),
         img_size=32, batch_size=2, num_epochs=1, learning_rate=1e-3, max_caption_len=12,
-        num_workers=2, mesh_data=-1, disable_wandb=True, save_every_n_epochs=0,
+        # save_every_n_epochs=1: the save path MUST run under process_count=2 — it
+        # exercises the collective Orbax write and the cross-host consistency assert
+        # (checkpoint/manager.py), which a per-process salted hash() once broke
+        num_workers=2, mesh_data=-1, disable_wandb=True, save_every_n_epochs=1,
     )
     vcfg = T.tiny_vlm_cfg()
     params = vlm.init(jax.random.key(0), vcfg)  # same key -> same init on both hosts
