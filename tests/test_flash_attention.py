@@ -179,3 +179,24 @@ def test_sharded_flash_plan_rejects_replicated_multihead_kv():
     q4, k4, _ = make_qkv(b=4, t=32, hq=32, hkv=4, d=64)
     plan = sharded_flash_plan(mesh, q4, k4)
     assert plan is not None and plan[1][2] == "model"
+
+
+def test_block_bump_gated_on_padded_length():
+    """The non-causal 1024-block bump must not inflate padding: T=576 (ViT-L/16-384)
+    keeps the 256-block default (pad 768), T=1024 takes the bump (pad 1024) —
+    otherwise mid-size vision towers pay up to 1.78x extra score-matmul work."""
+    from projectiontrainer_tpu.ops import flash_attention as fa
+
+    # T=1024: big blocks pad no worse -> bump applies
+    assert fa._pick_blocks(1024, 1024, 1024)[2] <= fa._pick_blocks(
+        1024, fa.DEFAULT_BQ, fa.DEFAULT_BK)[2]
+    # T=576: big blocks pad 1024 vs 768 -> bump must be rejected
+    assert fa._pick_blocks(576, 1024, 1024)[2] > fa._pick_blocks(
+        576, fa.DEFAULT_BQ, fa.DEFAULT_BK)[2]
+    # end-to-end: the kernel still matches the XLA reference at T=576 non-causal
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 576, 2, 32)).astype(np.float32)) * 0.1
+               for _ in range(3))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = dot_product_attention(q, k, v, causal=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
