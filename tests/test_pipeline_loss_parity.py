@@ -277,3 +277,153 @@ def test_stage1_multi_step_loss_curve_parity(torch_stack, jax_stack):
     # the BASELINE north-star budget is 1%; fp32 CPU agreement should be far tighter
     assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
     assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
+
+
+def test_stage2_lora_multi_step_loss_curve_parity(torch_stack, jax_stack):
+    """~40 optimizer steps of the stage-2 QLoRA recipe vs a torch re-implementation of
+    the reference loop (Stage2/trainer.py:306-443 with PEFT LoRA forward semantics,
+    dropout=0): LoRA adapters on q/k/v/o/gate/up/down as the only trainables, answer-
+    masked shifted CE, AdamW + HF cosine-with-warmup + per-module clip 1.0. Extends the
+    stage-1 curve test to the LoRA update path and the per-module clipping transform —
+    drift in apply_delta, the lora trainable mask, or clip grouping shows up here and
+    nowhere else."""
+    import copy
+    import math
+
+    from transformers import get_cosine_schedule_with_warmup
+
+    from projectiontrainer_tpu.train import lora as lora_mod
+    from projectiontrainer_tpu.train import masks, optim
+
+    _, _, vision, llm, projector = torch_stack
+    cfg, params0 = jax_stack
+
+    n_steps, lr, warmup_ratio, clip, wd = 40, 1e-3, 0.1, 1.0, 0.01
+    r, alpha = 4, 8
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(4):
+        pixels = rng.normal(size=(2, 3, 32, 32)).astype(np.float32) * 0.5
+        q_ids = rng.integers(1, 97, size=(2, 6))
+        a_ids = rng.integers(1, 97, size=(2, 8))
+        a_ids[1, 5:] = PAD
+        batches.append((pixels, q_ids, a_ids))
+
+    # ---- torch side: PEFT lora.Linear forward (base(x) + B(A(x)) * alpha/r)
+    class LoraLinear(nn.Module):
+        def __init__(self, base):
+            super().__init__()
+            self.base = base
+            self.lora_A = nn.Linear(base.in_features, r, bias=False)
+            self.lora_B = nn.Linear(r, base.out_features, bias=False)
+            # PEFT zero-inits B (no grad flows to A at step 0); init both small-random
+            # instead so A's update path is exercised from the first step
+            nn.init.normal_(self.lora_A.weight, std=0.1)
+            nn.init.normal_(self.lora_B.weight, std=0.1)
+            self.scaling = alpha / r
+
+        def forward(self, x):
+            return self.base(x) + self.lora_B(self.lora_A(x)) * self.scaling
+
+    torch.manual_seed(7)
+    llm2 = copy.deepcopy(llm)
+    targets = (("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
+               ("mlp", ("gate_proj", "up_proj", "down_proj")))
+    for layer in llm2.model.layers:
+        for mod_name, names in targets:
+            mod = getattr(layer, mod_name)
+            for n in names:
+                setattr(mod, n, LoraLinear(getattr(mod, n)))
+    for p in llm2.parameters():
+        p.requires_grad_(False)
+    lora_params = []
+    for m in llm2.modules():
+        if isinstance(m, LoraLinear):
+            m.lora_A.weight.requires_grad_(True)
+            m.lora_B.weight.requires_grad_(True)
+            lora_params += [m.lora_A.weight, m.lora_B.weight]
+
+    # snapshot the adapter init BEFORE the torch loop trains it — both sides must
+    # start from identical weights
+    lora_init = {}
+    for i, layer in enumerate(llm2.model.layers):
+        for mod_name, names in targets:
+            mod = getattr(layer, mod_name)
+            for n in names:
+                ll = getattr(mod, n)
+                lora_init[(i, n)] = (ll.lora_A.weight.detach().numpy().T.copy(),
+                                     ll.lora_B.weight.detach().numpy().T.copy())
+
+    opt = torch.optim.AdamW(lora_params, lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=wd)
+    sched = get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=math.ceil(warmup_ratio * n_steps),
+        num_training_steps=n_steps)
+
+    def torch_loss(pixels, q_ids, a_ids):
+        with torch.no_grad():  # vision tower and projector are frozen in this recipe
+            hidden = vision(pixel_values=torch.tensor(pixels)).last_hidden_state
+            projected = projector(hidden[:, 1:, :])
+        q, a = torch.tensor(q_ids), torch.tensor(a_ids)
+        embed = llm2.get_input_embeddings()
+        combined = torch.cat([projected, embed(q), embed(a)], dim=1)
+        b, v_len = projected.shape[0], projected.shape[1]
+        attn = torch.cat(
+            [torch.ones(b, v_len, dtype=torch.long), (q != PAD).long(), (a != PAD).long()],
+            dim=1)
+        a_labels = a.clone()
+        a_labels[a_labels == PAD] = -100
+        labels = torch.cat(
+            [torch.full((b, v_len + q.shape[1]), -100, dtype=torch.long), a_labels], dim=1)
+        logits = llm2.model(inputs_embeds=combined, attention_mask=attn).last_hidden_state
+        logits = llm2.lm_head(logits).float()
+        shift_logits = logits[..., :-1, :].reshape(-1, logits.shape[-1])
+        shift_labels = labels[..., 1:].reshape(-1)
+        return nn.CrossEntropyLoss()(shift_logits, shift_labels)
+
+    t_losses = []
+    for i in range(n_steps):
+        pixels, q_ids, a_ids = batches[i % len(batches)]
+        opt.zero_grad()
+        loss = torch_loss(pixels, q_ids, a_ids)
+        loss.backward()
+        # reference clips each trainable module's params as one group
+        # (Stage2/trainer.py:427-439); here the LLM adapters are the only group
+        torch.nn.utils.clip_grad_norm_(lora_params, clip)
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- JAX side: the framework's stage-2 step machinery with the same adapters
+    lcfg = lora_mod.LoraConfig(r=r, alpha=alpha, dropout=0.0)
+    lparams = lora_mod.init(jax.random.key(0), cfg.llm, lcfg)
+    for (i, n), (a, b) in lora_init.items():
+        lparams["layers"][i][n]["a"] = jnp.asarray(a)
+        lparams["layers"][i][n]["b"] = jnp.asarray(b)
+    params = dict(jax.tree.map(jnp.asarray, params0))
+    params["lora"] = lparams
+
+    labels_tree = masks.stage2_labels(
+        params, masks.Stage2Freeze(train_llm=False, use_lora=True))
+    tx, _ = optim.single_group_optimizer(
+        labels_tree, lr, total_steps=n_steps, warmup_ratio=warmup_ratio,
+        clip_norm=clip, clip_per_module=True, weight_decay=wd)
+    loss_fn = steps.stage2_loss(cfg, PAD, lora_cfg=lcfg, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False,
+                                 trainable_mask=masks.bool_mask(labels_tree))
+    state = steps.init_state(params, tx)
+    j_losses = []
+    for i in range(n_steps):
+        pixels, q_ids, a_ids = batches[i % len(batches)]
+        batch = {"pixel_values": jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+                 "question_ids": jnp.asarray(q_ids), "answer_ids": jnp.asarray(a_ids)}
+        state, loss, _ = step(state, batch, jax.random.key(i))
+        j_losses.append(float(loss))
+
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    rel = np.abs(j_arr - t_arr) / np.abs(t_arr)
+    assert t_arr[-1] < t_arr[0], "torch curve did not decrease — test not meaningful"
+    assert j_arr[-1] < j_arr[0], "jax curve did not decrease"
+    assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
+    assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
