@@ -26,9 +26,16 @@ from projectiontrainer_tpu.train import masks as M
 
 
 def cosine_schedule_with_warmup(
-    base_lr: float, *, warmup_ratio: float, total_steps: int, num_cycles: float = 0.5
+    base_lr: float, *, warmup_ratio: float, total_steps: int, num_cycles: float = 0.5,
+    warmup_rounding: str = "ceil"
 ) -> optax.Schedule:
-    warmup_steps = math.ceil(warmup_ratio * total_steps)
+    """``warmup_rounding``: the reference computes warmup steps per stage — stages 1/2
+    use ``math.ceil(ratio * max_steps)`` (Stage1/projector_trainer.py:87,
+    Stage2/trainer.py:157) while stage 0 uses ``int(...)`` i.e. floor
+    (Stage0/train_vision_encoder_stage0.py:598) — an off-by-one LR difference whenever
+    the product is fractional."""
+    rounding = {"ceil": math.ceil, "floor": math.floor}[warmup_rounding]
+    warmup_steps = rounding(warmup_ratio * total_steps)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -76,8 +83,11 @@ def adamw_with_schedule(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    warmup_rounding: str = "ceil",
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    schedule = cosine_schedule_with_warmup(lr, warmup_ratio=warmup_ratio, total_steps=total_steps)
+    schedule = cosine_schedule_with_warmup(
+        lr, warmup_ratio=warmup_ratio, total_steps=total_steps,
+        warmup_rounding=warmup_rounding)
     chain = []
     if clip_norm is not None:
         chain.append(
@@ -137,11 +147,13 @@ def single_group_optimizer(
     clip_norm: Optional[float] = None,
     clip_per_module: bool = False,
     accum_steps: int = 1,
+    warmup_rounding: str = "ceil",
 ):
     """The common case: one trainable group + frozen rest. Returns (tx, schedule)."""
     tx, schedule = adamw_with_schedule(
         lr, total_steps=total_steps, warmup_ratio=warmup_ratio,
         weight_decay=weight_decay, clip_norm=clip_norm, clip_per_module=clip_per_module,
+        warmup_rounding=warmup_rounding,
     )
     return masked_optimizer(labels, {M.TRAINABLE: tx}, accum_steps=accum_steps), schedule
 

@@ -64,6 +64,9 @@ class Stage0Trainer:
             labels, cfg.learning_rate, total_steps=self.max_train_steps,
             warmup_ratio=cfg.warmup_ratio, weight_decay=cfg.weight_decay,
             accum_steps=cfg.gradient_accumulation_steps,
+            # stage 0 rounds warmup steps DOWN — int(ratio * max_steps) at
+            # Stage0/train_vision_encoder_stage0.py:598, unlike stages 1/2's ceil
+            warmup_rounding="floor",
         )
         from projectiontrainer_tpu.core.mesh import DATA_AXIS
 

@@ -279,6 +279,101 @@ def test_stage1_multi_step_loss_curve_parity(torch_stack, jax_stack):
     assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
 
 
+def test_stage0_multi_step_loss_curve_parity():
+    """~30 optimizer steps of the stage-0 contrastive recipe vs the torch reference
+    loop (Stage0/train_vision_encoder_stage0.py:555-733): full SigLIP dual tower with
+    frozen text encoder + logit_scale + first-k vision layers (freeze_layers_ratio),
+    eye-labels sigmoid loss with logit_bias, AdamW + cosine warmup with stage 0's
+    floor-rounded warmup steps (int(ratio*max_steps), :598) and NO gradient clipping.
+    The fractional warmup product (30 * 0.085 = 2.55) pins the floor-vs-ceil rounding."""
+    import math  # noqa: F401  (documents the rounding contrast; reference uses int())
+
+    from transformers import get_cosine_schedule_with_warmup
+
+    from projectiontrainer_tpu.train import masks, optim
+    from tests.test_siglip_parity import _hf_siglip, _port
+
+    import copy
+
+    cfg, model = _hf_siglip()
+    jcfg, params0 = _port(cfg, model)
+    n_layers = len(params0["vision"]["layers"])
+
+    n_steps, lr, warmup_ratio, wd, ratio = 30, 1e-4, 0.085, 0.01, 0.4
+    rng = np.random.default_rng(11)
+    batches = []
+    for _ in range(4):
+        pixels = rng.normal(size=(4, 3, 32, 32)).astype(np.float32) * 0.5
+        ids = rng.integers(1, 99, size=(4, 16))  # full-length: no padding ambiguity
+        batches.append((pixels, ids))
+
+    # ---- torch side: reference freeze policy + loop. Train a DEEPCOPY: the ported
+    # params alias the live torch storage (state_dict().numpy() views + CPU jax
+    # zero-copy asarray), so training the original would silently mutate the JAX side.
+    model = copy.deepcopy(model).train()
+    for p in model.text_model.parameters():
+        p.requires_grad_(False)
+    model.logit_scale.requires_grad_(False)
+    n_freeze = int(n_layers * ratio)
+    for i, layer in enumerate(model.vision_model.encoder.layers):
+        if i < n_freeze:
+            for p in layer.parameters():
+                p.requires_grad_(False)
+    params_to_optimize = [p for p in model.parameters() if p.requires_grad]
+    opt = torch.optim.AdamW(params_to_optimize, lr=lr, weight_decay=wd)
+    sched = get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=int(warmup_ratio * n_steps),  # stage 0: int(), not ceil
+        num_training_steps=n_steps)
+
+    def torch_loss(pixels, ids):
+        out = model(input_ids=torch.tensor(ids), pixel_values=torch.tensor(pixels),
+                    attention_mask=torch.ones_like(torch.tensor(ids)),
+                    return_loss=False, return_dict=True)
+        img = nn.functional.normalize(out.image_embeds, p=2, dim=1)
+        txt = nn.functional.normalize(out.text_embeds, p=2, dim=1)
+        logits = img @ txt.t() * model.logit_scale.exp() + model.logit_bias
+        n = logits.size(0)
+        return nn.functional.binary_cross_entropy_with_logits(
+            logits, torch.eye(n), reduction="sum") / n
+
+    t_losses = []
+    for i in range(n_steps):
+        pixels, ids = batches[i % len(batches)]
+        opt.zero_grad()
+        loss = torch_loss(pixels, ids)
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- JAX side: the stage-0 trainer's own wiring
+    params = jax.tree.map(jnp.asarray, params0)
+    labels_tree = masks.stage0_labels(
+        params, freeze_text=True, freeze_logit_scale=True,
+        freeze_layers_ratio=ratio, num_vision_layers=n_layers)
+    tx, _ = optim.single_group_optimizer(
+        labels_tree, lr, total_steps=n_steps, warmup_ratio=warmup_ratio,
+        weight_decay=wd, warmup_rounding="floor")
+    loss_fn = steps.stage0_loss(jcfg, remat=False)
+    step = steps.make_train_step(loss_fn, tx, donate=False,
+                                 trainable_mask=masks.bool_mask(labels_tree))
+    state = steps.init_state(params, tx)
+    j_losses = []
+    for i in range(n_steps):
+        pixels, ids = batches[i % len(batches)]
+        batch = {"pixel_values": jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+                 "input_ids": jnp.asarray(ids)}
+        state, loss, _ = step(state, batch, None)
+        j_losses.append(float(loss))
+
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    rel = np.abs(j_arr - t_arr) / np.abs(t_arr)
+    assert t_arr[-1] < t_arr[0], "torch curve did not decrease — test not meaningful"
+    assert j_arr[-1] < j_arr[0], "jax curve did not decrease"
+    assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
+    assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
+
+
 def test_stage2_lora_multi_step_loss_curve_parity(torch_stack, jax_stack):
     """~40 optimizer steps of the stage-2 QLoRA recipe vs a torch re-implementation of
     the reference loop (Stage2/trainer.py:306-443 with PEFT LoRA forward semantics,

@@ -186,6 +186,35 @@ def test_cosine_schedule_matches_hf():
     np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-9)
 
 
+def test_cosine_schedule_warmup_rounding_floor_matches_stage0():
+    """Stage 0 computes warmup steps as int(ratio * max_steps) — floor — where stages
+    1/2 use ceil (Stage0/train_vision_encoder_stage0.py:598 vs
+    Stage1/projector_trainer.py:87). With a fractional product the two schedules differ
+    by one warmup step; warmup_rounding='floor' reproduces stage 0's."""
+    import torch
+    from transformers import get_cosine_schedule_with_warmup
+
+    total, warmup_ratio, lr = 30, 0.085, 3e-4  # 2.55 -> floor 2, ceil 3
+    warmup = int(warmup_ratio * total)
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    sched = get_cosine_schedule_with_warmup(opt, num_warmup_steps=warmup, num_training_steps=total)
+    expected = []
+    for _ in range(total):
+        expected.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+
+    floor = optim.cosine_schedule_with_warmup(
+        lr, warmup_ratio=warmup_ratio, total_steps=total, warmup_rounding="floor")
+    got = [float(floor(i)) for i in range(total)]
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-9)
+
+    ceil = optim.cosine_schedule_with_warmup(
+        lr, warmup_ratio=warmup_ratio, total_steps=total)
+    assert not np.allclose([float(ceil(i)) for i in range(total)], expected), \
+        "ceil and floor schedules should differ at a fractional warmup product"
+
+
 def test_clip_by_module_norm_clips_groups_independently():
     grads = {"a": {"x": jnp.full((4,), 10.0)}, "b": {"y": jnp.full((4,), 0.01)}}
     tx = optim.clip_by_module_norm(1.0)
