@@ -84,10 +84,16 @@ def adamw_with_schedule(
     b2: float = 0.999,
     eps: float = 1e-8,
     warmup_rounding: str = "ceil",
+    schedule_kind: str = "cosine",
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
-    schedule = cosine_schedule_with_warmup(
-        lr, warmup_ratio=warmup_ratio, total_steps=total_steps,
-        warmup_rounding=warmup_rounding)
+    if schedule_kind == "constant":
+        # cls_evaluate trains at a CONSTANT lr — AdamW is built without any scheduler
+        # and run_training_loop never steps one (cls_evaluate/train_utils.py:257-261)
+        schedule = lambda step: jnp.asarray(lr, jnp.float32)  # noqa: E731
+    else:
+        schedule = cosine_schedule_with_warmup(
+            lr, warmup_ratio=warmup_ratio, total_steps=total_steps,
+            warmup_rounding=warmup_rounding)
     chain = []
     if clip_norm is not None:
         chain.append(
@@ -169,12 +175,15 @@ def discriminative_optimizer(
     accum_steps: int = 1,
 ):
     """cls_evaluate's discriminative-LR AdamW: head at ``lr``, backbone at ``bb_lr``
-    (reference: cls_evaluate/train_utils.py:219-259)."""
+    (reference: cls_evaluate/train_utils.py:219-259). The LRs are CONSTANT — the
+    reference builds AdamW with no scheduler and never steps one (:257-261)."""
     head_tx, head_sched = adamw_with_schedule(
-        head_lr, total_steps=total_steps, warmup_ratio=warmup_ratio, weight_decay=weight_decay
+        head_lr, total_steps=total_steps, warmup_ratio=warmup_ratio,
+        weight_decay=weight_decay, schedule_kind="constant"
     )
     bb_tx, _ = adamw_with_schedule(
-        backbone_lr, total_steps=total_steps, warmup_ratio=warmup_ratio, weight_decay=weight_decay
+        backbone_lr, total_steps=total_steps, warmup_ratio=warmup_ratio,
+        weight_decay=weight_decay, schedule_kind="constant"
     )
     tx = masked_optimizer(labels, {M.HEAD: head_tx, M.BACKBONE: bb_tx}, accum_steps=accum_steps)
     return tx, head_sched

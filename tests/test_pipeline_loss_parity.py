@@ -374,6 +374,117 @@ def test_stage0_multi_step_loss_curve_parity():
     assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
 
 
+def test_cls_multi_step_loss_curve_parity():
+    """~30 optimizer steps of the cls_evaluate probe recipe vs the torch reference loop
+    (cls_evaluate/train_utils.py:219-335): AbnormalityClassifier (SigLIP backbone +
+    query MHA head) under discriminative CONSTANT LRs — AdamW param groups at bb_lr
+    (backbone) and lr (head) with NO scheduler (:257-261) — softmax CE on class
+    indices, Unfreeze mode (backbone trains from epoch 0). Completes the per-recipe
+    curve-parity matrix (stage 0/1/2/cls)."""
+    import copy
+
+    from transformers import SiglipVisionConfig
+    from transformers.models.siglip.modeling_siglip import SiglipVisionModel
+
+    from projectiontrainer_tpu.models import classifier, siglip
+    from projectiontrainer_tpu.train import masks, optim
+
+    hidden, heads, ncls = 32, 4, 5
+    vcfg_hf = SiglipVisionConfig(
+        hidden_size=hidden, intermediate_size=hidden * 4, num_hidden_layers=2,
+        num_attention_heads=heads, image_size=16, patch_size=8,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    backbone = SiglipVisionModel(vcfg_hf)
+
+    class TorchHead(nn.Module):
+        """Reference head (cls_evaluate/models.py:107-139), dropout 0 for determinism."""
+
+        def __init__(self):
+            super().__init__()
+            self.queries = nn.Parameter(torch.randn(1, ncls, hidden))
+            self.mha = nn.MultiheadAttention(hidden, heads, batch_first=True)
+            self.head = nn.Linear(hidden, 1)
+
+        def forward(self, feats):
+            q = self.queries.repeat(feats.shape[0], 1, 1)
+            out, _ = self.mha(q, feats, feats)
+            return self.head(out).squeeze(-1)
+
+    head = TorchHead()
+
+    vcfg = siglip.VisionConfig(
+        hidden_size=hidden, intermediate_size=hidden * 4, num_layers=2,
+        num_heads=heads, image_size=16, patch_size=8, use_head=False,
+    )
+    ccfg = classifier.ClassifierConfig(vision=vcfg, num_classes=ncls, num_heads=heads,
+                                       dropout_rate=0.0)
+    sd = {}
+    for k, v in backbone.state_dict().items():
+        sd["vision_model." + k.removeprefix("vision_model.")] = v.detach().numpy().copy()
+    sd["abnormality_queries"] = head.queries.detach().numpy().copy()
+    sd["mha.in_proj_weight"] = head.mha.in_proj_weight.detach().numpy().copy()
+    sd["mha.in_proj_bias"] = head.mha.in_proj_bias.detach().numpy().copy()
+    sd["mha.out_proj.weight"] = head.mha.out_proj.weight.detach().numpy().copy()
+    sd["mha.out_proj.bias"] = head.mha.out_proj.bias.detach().numpy().copy()
+    sd["classification_head.weight"] = head.head.weight.detach().numpy().copy()
+    sd["classification_head.bias"] = head.head.bias.detach().numpy().copy()
+    params = jax.tree.map(jnp.asarray, classifier.params_from_torch_state_dict(ccfg, sd))
+
+    n_steps, head_lr, bb_lr, wd = 30, 1e-3, 1e-4, 0.01
+    rng = np.random.default_rng(13)
+    batches = []
+    for _ in range(4):
+        pixels = rng.normal(size=(4, 3, 16, 16)).astype(np.float32) * 0.5
+        targets = rng.integers(0, ncls, size=(4,))
+        batches.append((pixels, targets))
+
+    # ---- torch side (deepcopies: the ported params alias live torch storage)
+    backbone, head = copy.deepcopy(backbone).train(), copy.deepcopy(head).train()
+    head_params = ([head.queries] + list(head.mha.parameters())
+                   + list(head.head.parameters()))
+    opt = torch.optim.AdamW(
+        [{"params": list(backbone.parameters()), "lr": bb_lr},
+         {"params": head_params, "lr": head_lr}],
+        weight_decay=wd)  # no scheduler — constant LRs (train_utils.py:257-261)
+    criterion = nn.CrossEntropyLoss()
+
+    t_losses = []
+    for i in range(n_steps):
+        pixels, targets = batches[i % len(batches)]
+        opt.zero_grad()
+        feats = backbone(pixel_values=torch.tensor(pixels)).last_hidden_state
+        loss = criterion(head(feats), torch.tensor(targets))
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- JAX side: the cls trainer's own wiring
+    labels_tree = masks.classifier_labels(params, freeze_vision=False)
+    tx, _ = optim.discriminative_optimizer(
+        labels_tree, head_lr=head_lr, backbone_lr=bb_lr, total_steps=n_steps,
+        weight_decay=wd)
+    loss_fn = steps.classifier_loss(ccfg)
+    step = steps.make_train_step(loss_fn, tx, donate=False,
+                                 trainable_mask=masks.bool_mask(labels_tree))
+    state = steps.init_state(params, tx)
+    j_losses = []
+    for i in range(n_steps):
+        pixels, targets = batches[i % len(batches)]
+        batch = {"pixel_values": jnp.asarray(pixels.transpose(0, 2, 3, 1)),
+                 "target_indices": jnp.asarray(targets)}
+        state, loss, _ = step(state, batch, None)
+        j_losses.append(float(loss))
+
+    t_arr, j_arr = np.asarray(t_losses), np.asarray(j_losses)
+    rel = np.abs(j_arr - t_arr) / np.abs(t_arr)
+    assert t_arr[-1] < t_arr[0], "torch curve did not decrease — test not meaningful"
+    assert j_arr[-1] < j_arr[0], "jax curve did not decrease"
+    assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
+    assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
+
+
 def test_stage2_lora_multi_step_loss_curve_parity(torch_stack, jax_stack):
     """~40 optimizer steps of the stage-2 QLoRA recipe vs a torch re-implementation of
     the reference loop (Stage2/trainer.py:306-443 with PEFT LoRA forward semantics,
