@@ -249,7 +249,7 @@ def test_stage1_multi_step_loss_curve_parity(torch_stack, jax_stack):
         torch.nn.utils.clip_grad_norm_(projector.parameters(), clip)
         opt.step()
         sched.step()
-        t_losses.append(float(loss))
+        t_losses.append(float(loss.detach()))
 
     # ---- JAX side: the framework's own step machinery
     from projectiontrainer_tpu.train import masks, optim
