@@ -30,6 +30,45 @@ def init_state(params, tx) -> dict:
     return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
 
 
+def swap_optimizer(state: dict, new_tx) -> dict:
+    """Rebuild ``opt_state`` for ``new_tx``, carrying over every optimizer-state leaf
+    whose tree path, shape, and dtype are unchanged — the Adam moments (mu/nu),
+    bias-correction counts, and accumulation buffers of the param groups that survive a
+    freeze-mask swap.
+
+    The reference never rebuilds its optimizer at a freeze transition: torch keeps ONE
+    AdamW and only flips ``requires_grad`` (cls_evaluate/train_utils.py:286-308 for
+    1EpochUnfreeze, Stage2/trainer.py:267-289 for ``--train_ve_first_epoch``), so the
+    still-trainable groups' moments and step counts persist while newly frozen params
+    simply stop receiving grads. A fresh ``tx.init`` here would zero the surviving
+    groups' second moments and restart their bias correction — the first post-swap
+    update would be a full-magnitude fresh-Adam step, diverging from the reference's
+    loss curve. Newly FROZEN leaves' moments are dropped (optax masks them out as
+    ``MaskedNode``) — unobservable, those params never update again. The reverse
+    (frozen -> trainable mid-run) never occurs in any trainer: ``1EpochUnfreeze`` and
+    ``--train_ve_first_epoch`` both start trainable and freeze at epoch 1, and resume
+    paths restore full state from disk.
+    """
+    new_opt = new_tx.init(state["params"])
+    old_map = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_leaves_with_path(state["opt_state"])
+    }
+    paths_leaves = jax.tree_util.tree_leaves_with_path(new_opt)
+    treedef = jax.tree_util.tree_structure(new_opt)
+    leaves = []
+    for p, leaf in paths_leaves:
+        old = old_map.get(jax.tree_util.keystr(p))
+        if (old is not None
+                and getattr(old, "shape", None) == getattr(leaf, "shape", None)
+                and getattr(old, "dtype", None) == getattr(leaf, "dtype", None)):
+            leaf = old
+        leaves.append(leaf)
+    return {"params": state["params"],
+            "opt_state": jax.tree_util.tree_unflatten(treedef, leaves),
+            "step": state["step"]}
+
+
 def _zero_grad_like(x):
     """Zero gradient for a frozen leaf. Integer leaves (int8 quantized QLoRA bases) get
     FLOAT zeros: a gradient pytree with integer leaves poisons ``optax.MultiSteps``'

@@ -126,9 +126,10 @@ class ClsTrainer:
             frozen = self._epoch_frozen(epoch)
             step_fn, tx, _ = self._steps[frozen]
             if tx is not self.tx:
-                step = self.state["step"]
-                self.state = steps.init_state(self.state["params"], tx)
-                self.state["step"] = step  # the swap rebuilds optimizer state only
+                # 1EpochUnfreeze boundary: rebuild opt_state for the frozen-backbone
+                # mask but KEEP the head group's Adam moments/counts — the reference
+                # keeps one AdamW across the requires_grad flip (train_utils.py:286-308)
+                self.state = steps.swap_optimizer(self.state, tx)
                 self.tx = tx
             loss_sum, n_losses = None, 0
             last_grad_norm = None

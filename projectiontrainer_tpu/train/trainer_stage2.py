@@ -191,11 +191,11 @@ class Stage2Trainer:
             ve_flag = cfg.train_ve_first_epoch and epoch == 0
             step_fn, tx, _ = self._steps[ve_flag]
             if tx is not self.tx:
-                # mask swap at the epoch boundary: keep params (and the step counter),
-                # rebuild optimizer state only
-                step = self.state["step"]
-                self.state = steps.init_state(self.state["params"], tx)
-                self.state["step"] = step
+                # --train_ve_first_epoch boundary: rebuild opt_state for the VE-frozen
+                # mask but KEEP the surviving groups' (LoRA/projector) Adam moments and
+                # counts — the reference keeps one AdamW across the requires_grad flip
+                # (Stage2/trainer.py:267-289)
+                self.state = steps.swap_optimizer(self.state, tx)
                 self.tx = tx
             # device-side loss accumulation; host syncs only at logging boundaries
             loss_sum, n_losses = None, 0

@@ -374,13 +374,15 @@ def test_stage0_multi_step_loss_curve_parity():
     assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
 
 
-def test_cls_multi_step_loss_curve_parity():
+def _run_cls_curve_parity(freeze_at=None):
     """~30 optimizer steps of the cls_evaluate probe recipe vs the torch reference loop
     (cls_evaluate/train_utils.py:219-335): AbnormalityClassifier (SigLIP backbone +
     query MHA head) under discriminative CONSTANT LRs — AdamW param groups at bb_lr
     (backbone) and lr (head) with NO scheduler (:257-261) — softmax CE on class
-    indices, Unfreeze mode (backbone trains from epoch 0). Completes the per-recipe
-    curve-parity matrix (stage 0/1/2/cls)."""
+    indices. ``freeze_at=k`` flips the backbone to frozen before step k, the
+    1EpochUnfreeze boundary: torch flips requires_grad on ONE persistent AdamW
+    (:286-308), JAX swaps optimizers via steps.swap_optimizer which must carry the
+    head group's Adam moments for the curves to stay matched."""
     import copy
 
     from transformers import SiglipVisionConfig
@@ -452,6 +454,10 @@ def test_cls_multi_step_loss_curve_parity():
 
     t_losses = []
     for i in range(n_steps):
+        if freeze_at is not None and i == freeze_at:
+            # the reference's dynamic freeze: requires_grad flip on the live optimizer
+            backbone.requires_grad_(False)
+            backbone.eval()
         pixels, targets = batches[i % len(batches)]
         opt.zero_grad()
         feats = backbone(pixel_values=torch.tensor(pixels)).last_hidden_state
@@ -461,16 +467,23 @@ def test_cls_multi_step_loss_curve_parity():
         t_losses.append(float(loss.detach()))
 
     # ---- JAX side: the cls trainer's own wiring
-    labels_tree = masks.classifier_labels(params, freeze_vision=False)
-    tx, _ = optim.discriminative_optimizer(
-        labels_tree, head_lr=head_lr, backbone_lr=bb_lr, total_steps=n_steps,
-        weight_decay=wd)
+    def build(frozen):
+        labels_tree = masks.classifier_labels(params, freeze_vision=frozen)
+        tx, _ = optim.discriminative_optimizer(
+            labels_tree, head_lr=head_lr, backbone_lr=bb_lr, total_steps=n_steps,
+            weight_decay=wd)
+        step = steps.make_train_step(loss_fn, tx, donate=False,
+                                     trainable_mask=masks.bool_mask(labels_tree))
+        return step, tx
+
     loss_fn = steps.classifier_loss(ccfg)
-    step = steps.make_train_step(loss_fn, tx, donate=False,
-                                 trainable_mask=masks.bool_mask(labels_tree))
+    step, tx = build(False)
     state = steps.init_state(params, tx)
     j_losses = []
     for i in range(n_steps):
+        if freeze_at is not None and i == freeze_at:
+            step, tx_frozen = build(True)
+            state = steps.swap_optimizer(state, tx_frozen)
         pixels, targets = batches[i % len(batches)]
         batch = {"pixel_values": jnp.asarray(pixels.transpose(0, 2, 3, 1)),
                  "target_indices": jnp.asarray(targets)}
@@ -483,6 +496,19 @@ def test_cls_multi_step_loss_curve_parity():
     assert j_arr[-1] < j_arr[0], "jax curve did not decrease"
     assert rel.max() < 1e-2, f"loss curves diverged: max rel {rel.max():.2e} at step {rel.argmax()}"
     assert rel.mean() < 2e-3, f"mean rel drift {rel.mean():.2e}"
+
+
+def test_cls_multi_step_loss_curve_parity():
+    """Unfreeze mode: backbone trains throughout. Completes the per-recipe curve-parity
+    matrix (stage 0/1/2/cls)."""
+    _run_cls_curve_parity()
+
+
+def test_cls_1epoch_unfreeze_transition_curve_parity():
+    """1EpochUnfreeze: backbone trains for the first 10 steps, then is frozen — the
+    epoch boundary where trainer_cls swaps optimizers. Parity holds only if the head
+    group's Adam moments survive the swap (steps.swap_optimizer)."""
+    _run_cls_curve_parity(freeze_at=10)
 
 
 def test_stage2_lora_multi_step_loss_curve_parity(torch_stack, jax_stack):

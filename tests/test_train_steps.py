@@ -443,3 +443,52 @@ def test_partial_remat_matches_plain_forward_and_grads():
         assert v_r == v_plain
         for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_plain)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_swap_optimizer_carries_surviving_group_moments():
+    """swap_optimizer (the 1EpochUnfreeze / --train_ve_first_epoch epoch boundary)
+    keeps the surviving groups' Adam mu/nu and bias-correction counts and drops the
+    newly frozen group's slots — the reference keeps ONE AdamW across the
+    requires_grad flip (cls_evaluate/train_utils.py:286-308, Stage2/trainer.py:267-289)
+    so head/LoRA moments must persist through the swap."""
+    params = {"vision": {"w": jnp.ones((4, 4))}, "probe": {"w": jnp.ones((3,))}}
+    mk = lambda frozen: optim.discriminative_optimizer(
+        masks.classifier_labels(params, freeze_vision=frozen),
+        head_lr=1e-2, backbone_lr=1e-3, total_steps=10)[0]
+    tx_unfrozen, tx_frozen = mk(False), mk(True)
+
+    def loss_fn(p, batch, rng):
+        return sum(jnp.sum(leaf ** 2) for leaf in jax.tree.leaves(p)), {}
+
+    step = steps.make_train_step(
+        loss_fn, tx_unfrozen, donate=False,
+        trainable_mask=masks.bool_mask(masks.classifier_labels(params, freeze_vision=False)),
+    )
+    state = steps.init_state(params, tx_unfrozen)
+    for _ in range(3):
+        state, _, _ = step(state, {}, None)
+
+    swapped = steps.swap_optimizer(state, tx_frozen)
+    assert int(swapped["step"]) == int(state["step"])
+    keystr = jax.tree_util.keystr
+    old = {keystr(p): l for p, l in
+           jax.tree_util.tree_leaves_with_path(state["opt_state"])}
+    new = {keystr(p): l for p, l in
+           jax.tree_util.tree_leaves_with_path(swapped["opt_state"])}
+    carried = [k for k in new if k in old]
+    # every carried path holds the OLD value bit-for-bit (moments + counts persist)
+    for k in carried:
+        np.testing.assert_array_equal(np.asarray(new[k]), np.asarray(old[k]))
+    # the carried state is non-trivial: the head group actually trained, so at least
+    # one carried moment tensor is nonzero (a fresh init would be all zeros)
+    assert any(np.asarray(new[k]).size > 1 and np.any(np.asarray(new[k]) != 0)
+               for k in carried)
+    # the newly frozen backbone's moment slots are dropped from the new state
+    assert any(k not in new for k in old)
+
+    # fresh-init contrast: without the carry, every moment restarts at zero
+    fresh = steps.init_state(state["params"], tx_frozen)["opt_state"]
+    fresh_leaves = {keystr(p): l for p, l in jax.tree_util.tree_leaves_with_path(fresh)}
+    assert any(
+        np.any(np.asarray(fresh_leaves[k]) != np.asarray(new[k])) for k in carried
+    ), "swap_optimizer should differ from a fresh init after training steps"
