@@ -90,10 +90,12 @@ def adamw_with_schedule(
         # cls_evaluate trains at a CONSTANT lr — AdamW is built without any scheduler
         # and run_training_loop never steps one (cls_evaluate/train_utils.py:257-261)
         schedule = lambda step: jnp.asarray(lr, jnp.float32)  # noqa: E731
-    else:
+    elif schedule_kind == "cosine":
         schedule = cosine_schedule_with_warmup(
             lr, warmup_ratio=warmup_ratio, total_steps=total_steps,
             warmup_rounding=warmup_rounding)
+    else:
+        raise ValueError(f"schedule_kind must be 'cosine' or 'constant', got {schedule_kind!r}")
     chain = []
     if clip_norm is not None:
         chain.append(
@@ -170,19 +172,19 @@ def discriminative_optimizer(
     head_lr: float,
     backbone_lr: float,
     total_steps: int,
-    warmup_ratio: float = 0.0,
     weight_decay: float = 0.01,
     accum_steps: int = 1,
 ):
     """cls_evaluate's discriminative-LR AdamW: head at ``lr``, backbone at ``bb_lr``
     (reference: cls_evaluate/train_utils.py:219-259). The LRs are CONSTANT — the
-    reference builds AdamW with no scheduler and never steps one (:257-261)."""
+    reference builds AdamW with no scheduler and never steps one (:257-261) — so
+    there is no warmup knob here."""
     head_tx, head_sched = adamw_with_schedule(
-        head_lr, total_steps=total_steps, warmup_ratio=warmup_ratio,
+        head_lr, total_steps=total_steps,
         weight_decay=weight_decay, schedule_kind="constant"
     )
     bb_tx, _ = adamw_with_schedule(
-        backbone_lr, total_steps=total_steps, warmup_ratio=warmup_ratio,
+        backbone_lr, total_steps=total_steps,
         weight_decay=weight_decay, schedule_kind="constant"
     )
     tx = masked_optimizer(labels, {M.HEAD: head_tx, M.BACKBONE: bb_tx}, accum_steps=accum_steps)
