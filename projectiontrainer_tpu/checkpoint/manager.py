@@ -35,12 +35,26 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         state_file = os.path.join(self.directory, "manager_state.json")
         if os.path.exists(state_file):
-            with open(state_file) as f:
-                self._best_metric = json.load(f).get("best_metric")
+            try:
+                with open(state_file) as f:
+                    self._best_metric = json.load(f).get("best_metric")
+            except (ValueError, OSError):
+                # torn/empty file from a crashed writer: treat as no prior best
+                # rather than aborting resume
+                self._best_metric = None
 
     def _persist_manager_state(self):
-        with open(os.path.join(self.directory, "manager_state.json"), "w") as f:
+        """Single-writer, atomic: every process tracks _best_metric in memory, but
+        only host 0 touches the shared file — N concurrent truncate-writes to the
+        same path can interleave or leave torn JSON on NFS/gcsfuse. tmp+rename makes
+        a crash mid-write leave the old state instead of an empty file."""
+        if jax.process_index() != 0:
+            return
+        path = os.path.join(self.directory, "manager_state.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"best_metric": self._best_metric}, f)
+        os.replace(tmp, path)
 
     @staticmethod
     def _assert_cross_host_consistent(name: str, state):
@@ -88,6 +102,18 @@ class CheckpointManager:
         return True
 
     def save_best(self, metric: float, state, metadata: Optional[dict] = None) -> bool:
+        metric = float(metric)
+        if jax.process_count() > 1:
+            # The better/worse decision gates a COLLECTIVE save: if hosts ever
+            # disagreed (host-local metric aggregation, a NaN on one host), some
+            # would enter the allgather+Orbax collectives and others would proceed
+            # to the next train step's collectives — a pod-wide hang. Decide on
+            # host 0's metric everywhere; this broadcast is itself collective and
+            # runs unconditionally, so the call order stays uniform.
+            from jax.experimental import multihost_utils
+
+            metric = float(multihost_utils.broadcast_one_to_all(
+                np.asarray(metric, np.float64)))
         better = (
             self._best_metric is None
             or (self.best_mode == "min" and metric < self._best_metric)

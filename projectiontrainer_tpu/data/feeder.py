@@ -37,6 +37,7 @@ import collections
 import multiprocessing as mp
 import os
 import queue as queue_mod
+import threading
 import time
 from multiprocessing import shared_memory
 from typing import Iterator, Optional
@@ -45,13 +46,21 @@ import numpy as np
 
 _SENTINEL = ("__stop__",)
 
-# Tickets crossing the worker queues are (stream_gen << _TICKET_BITS) | ticket —
-# a generation tag per sample stream, so an ABANDONED stream (consumer raised or
-# the feed was dropped mid-epoch) cannot poison the next one: its late results
-# carry the old generation and poll() silently reclaims their slots instead of
-# returning them against the new stream's colliding ticket numbers.
+# Tickets crossing the worker queues are (stream << _TICKET_BITS) | ticket — a
+# generation tag per sample stream, so an ABANDONED stream (consumer raised or the
+# feed was dropped mid-epoch; its generator may still be running on a detached
+# device_prefetch feeder thread) cannot poison the next one: ticket numbering
+# restarts at 0 every stream, and only the tag disambiguates the two. poll() takes
+# the CALLER's stream id — results for older streams are reclaimed, results for
+# newer streams are buffered for their own consumer, and a caller whose stream has
+# been superseded gets StaleStreamError instead of stealing the live stream's work.
 _TICKET_BITS = 40
 _TICKET_MASK = (1 << _TICKET_BITS) - 1
+
+
+class StaleStreamError(RuntimeError):
+    """Raised by poll() when a newer stream has started: the calling generator was
+    abandoned by its consumer and must stop draining the shared result queue."""
 
 
 def _worker_main(shm_name: str, n_slots: int, size: int, channels: int,
@@ -140,49 +149,89 @@ class ProcessPixelPool:
         self._free = collections.deque(range(self.n_slots))
         self._closed = False
         self._stream_gen = 0
+        # an abandoned stream's generator can poll concurrently with the live one
+        # (both on device_prefetch feeder threads) — guard the shared slot/pending
+        # bookkeeping; the mp queues are internally thread-safe already
+        self._lock = threading.Lock()
+        # results read off _result_q by one stream's poll that belong to another
+        # (newer) stream: buffered here for that stream's own consumer
+        self._pending: dict[int, collections.deque] = {}
 
     # -------------------------------------------------------------- submission
 
-    def has_free_slot(self) -> bool:
-        return bool(self._free)
+    def new_stream(self) -> int:
+        """Start a new sample stream and return its id: outstanding tickets from any
+        previous stream become stale — their slots are reclaimed as their results
+        drain through poll() — and ticket numbering may restart at 0 without
+        collisions."""
+        with self._lock:
+            self._stream_gen += 1
+            # a pending buffer for a now-superseded stream will never be polled —
+            # reclaim its slots here or the slot pool leaks
+            for g in [g for g in self._pending if g < self._stream_gen]:
+                for _ticket, slot, _ok in self._pending.pop(g):
+                    self._free.append(slot)
+            return self._stream_gen
 
-    def new_stream(self):
-        """Start a new sample stream: outstanding tickets from any previous stream
-        become stale — their slots are reclaimed as their results drain through
-        poll() — and ticket numbering may restart at 0 without collisions."""
-        self._stream_gen += 1
-
-    def submit(self, ticket: int, path: str, aug_seed: Optional[int]) -> int:
-        slot = self._free.popleft()
-        self._task_q.put(
-            ((self._stream_gen << _TICKET_BITS) | ticket, slot, path, aug_seed)
-        )
+    def try_submit(self, stream: int, ticket: int, path: str,
+                   aug_seed: Optional[int]) -> Optional[int]:
+        """Atomically claim a free slot and enqueue the task; None when no slot is
+        free (check-then-submit as two calls would race between streams)."""
+        with self._lock:
+            if not self._free:
+                return None
+            slot = self._free.popleft()
+        self._task_q.put(((stream << _TICKET_BITS) | ticket, slot, path, aug_seed))
         return slot
 
-    def poll(self, timeout: Optional[float] = None):
-        """Next finished (ticket, slot, ok) for the CURRENT stream, or None on
-        timeout. Stale results from pre-new_stream() submissions are consumed
-        internally and their slots freed."""
+    def poll(self, stream: int, timeout: Optional[float] = None):
+        """Next finished (ticket, slot, ok) for ``stream``, or None on timeout.
+
+        Results for streams OLDER than the caller are consumed internally and their
+        slots freed; results for NEWER streams are buffered for that stream's own
+        poll. Raises StaleStreamError once the caller's stream has been superseded —
+        the abandoned generator must stop draining the shared queue."""
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
+            with self._lock:
+                buf = self._pending.get(stream)
+                if buf:
+                    item = buf.popleft()
+                    if not buf:
+                        del self._pending[stream]
+                    return item
+                if stream != self._stream_gen:
+                    raise StaleStreamError(
+                        f"stream {stream} superseded by {self._stream_gen}"
+                    )
             wait = None if deadline is None else max(0.0, deadline - time.monotonic())
             try:
-                tagged, slot, ok = self._result_q.get(timeout=wait)
+                tagged, slot, ok = self._result_q.get(timeout=min(wait, 0.5) if wait is not None else 0.5)
             except queue_mod.Empty:
-                return None
-            if (tagged >> _TICKET_BITS) != self._stream_gen:
-                self._free.append(slot)  # abandoned-stream slot reclaimed
-                continue
-            return tagged & _TICKET_MASK, slot, ok
+                if deadline is not None and time.monotonic() >= deadline:
+                    return None
+                continue  # re-check pending/staleness between short waits
+            g, ticket = tagged >> _TICKET_BITS, tagged & _TICKET_MASK
+            if g == stream:
+                return ticket, slot, ok
+            with self._lock:
+                if g > stream:
+                    # a newer stream's result — hand it to that consumer
+                    self._pending.setdefault(g, collections.deque()).append(
+                        (ticket, slot, ok))
+                else:
+                    self._free.append(slot)  # abandoned-stream slot reclaimed
 
     def take(self, slot: int) -> np.ndarray:
         """Copy the slot's pixels out and free the slot."""
         out = self.slots[slot].copy()
-        self._free.append(slot)
+        with self._lock:
+            self._free.append(slot)
         return out
 
     def release(self, slot: int):
-        self._free.append(slot)
+        with self._lock:
+            self._free.append(slot)
 
     # -------------------------------------------------------------- lifecycle
 
@@ -241,7 +290,7 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
     fall back to in-process ``dataset[idx]`` semantics via ``finish_pixels``.
     """
     indices = [int(i) for i in indices]
-    pool.new_stream()  # invalidate any abandoned prior stream's tickets/slots
+    stream = pool.new_stream()  # invalidate any abandoned prior stream's tickets/slots
     if max_inflight is None:
         max_inflight = pool.n_slots - 1
     inflight: dict[int, int] = {}          # ticket -> slot
@@ -253,51 +302,58 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
 
     def _submit_more():
         nonlocal next_submit
-        while (next_submit < n and len(inflight) < max_inflight
-               and pool.has_free_slot()):
+        while next_submit < n and len(inflight) < max_inflight:
             idx = indices[next_submit]
             path, aug_seed = dataset.pixel_job(idx)
             if path is None:
                 local[next_submit] = True
             else:
-                slot = pool.submit(next_submit, path, aug_seed)
+                slot = pool.try_submit(stream, next_submit, path, aug_seed)
+                if slot is None:
+                    return  # no free slot right now — retry after the next poll
                 inflight[next_submit] = slot
             next_submit += 1
 
-    _submit_more()
-    while next_yield < n:
-        while next_yield < n and (next_yield in local or next_yield in done):
-            idx = indices[next_yield]
-            if next_yield in local:
-                local.pop(next_yield)
-                sample = dataset.finish_pixels(idx, None)
-            else:
-                sample = dataset.finish_pixels(idx, done.pop(next_yield))
-            next_yield += 1
-            yield sample
-            _submit_more()
-        if next_yield >= n:
-            break
-        # short-poll loop: draining an abandoned stream's stale results inside
-        # poll() frees slots, so re-run _submit_more between polls — otherwise a
-        # stream starting with zero free slots could wait forever on work it was
-        # never able to submit
-        deadline = time.monotonic() + 120.0
-        while True:
-            result = pool.poll(timeout=2.0)
-            _submit_more()
-            if result is not None:
-                break
-            if time.monotonic() > deadline:
-                raise RuntimeError(
-                    "process feeder stalled: no worker result within 120s "
-                    f"({len(inflight)} in flight)"
-                )
-        ticket, slot, ok = result
-        inflight.pop(ticket, None)
-        if ok:
-            done[ticket] = pool.take(slot)
-        else:
-            pool.release(slot)
-            done[ticket] = None
+    try:
         _submit_more()
+        while next_yield < n:
+            while next_yield < n and (next_yield in local or next_yield in done):
+                idx = indices[next_yield]
+                if next_yield in local:
+                    local.pop(next_yield)
+                    sample = dataset.finish_pixels(idx, None)
+                else:
+                    sample = dataset.finish_pixels(idx, done.pop(next_yield))
+                next_yield += 1
+                yield sample
+                _submit_more()
+            if next_yield >= n:
+                break
+            # short-poll loop: draining an abandoned stream's stale results inside
+            # poll() frees slots, so re-run _submit_more between polls — otherwise a
+            # stream starting with zero free slots could wait forever on work it was
+            # never able to submit
+            deadline = time.monotonic() + 120.0
+            while True:
+                result = pool.poll(stream, timeout=2.0)
+                _submit_more()
+                if result is not None:
+                    break
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        "process feeder stalled: no worker result within 120s "
+                        f"({len(inflight)} in flight)"
+                    )
+            ticket, slot, ok = result
+            inflight.pop(ticket, None)
+            if ok:
+                done[ticket] = pool.take(slot)
+            else:
+                pool.release(slot)
+                done[ticket] = None
+            _submit_more()
+    except StaleStreamError:
+        # a newer stream started: this generator's consumer is gone (abandoned
+        # mid-epoch on a prefetch thread) — stop quietly instead of competing for
+        # the live stream's results
+        return

@@ -78,8 +78,12 @@ def device_prefetch(batches: Iterable[dict], *, size: int = 2,
                 else:
                     b = jax.tree.map(jax.device_put, b)
                 q.put(b)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to the consumer
+            # a failure on this thread (e.g. the process feeder's 120s stall
+            # RuntimeError) must fail the epoch loudly; a bare _END here would
+            # silently truncate the epoch and train on a fraction of the data
+            q.put(e)
 
     t = threading.Thread(target=feeder, daemon=True)
     t.start()
@@ -87,6 +91,8 @@ def device_prefetch(batches: Iterable[dict], *, size: int = 2,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

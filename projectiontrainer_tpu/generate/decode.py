@@ -69,13 +69,6 @@ def _apply_repetition_penalty(logits, generated, penalty):
     return jnp.where(seen, penalized, logits)
 
 
-def _top_k_filter(logits, k):
-    k = min(k, logits.shape[-1])  # HF TopKLogitsWarper clamps k to the vocab size
-    vals, _ = jax.lax.top_k(logits, k)
-    cutoff = vals[..., -1:]
-    return jnp.where(logits < cutoff, NEG_INF, logits)
-
-
 def _top_p_filter(logits, p, *, k_hint: Optional[int] = None):
     """Nucleus filter. ``k_hint`` is the number of non-NEG_INF entries a preceding
     top-k filter left per row: sorting those k values (via lax.top_k, which returns
@@ -244,9 +237,10 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
       Gumbel-top-k trick (the jit-friendly equivalent of ``torch.multinomial``), then
       sorted by true score like HF; deterministic beam search takes top-k instead;
     - EOS candidates ranked within the top nb move to a per-batch finished set of nb
-      hypotheses scored ``sum_logprob / len^length_penalty`` with ``len`` EXCLUDING the
-      EOS token (HF ``BeamHypotheses.add`` semantics); live beams continue from the best
-      non-EOS candidates;
+      hypotheses scored ``sum_logprob / len^length_penalty`` with ``len`` INCLUDING the
+      just-generated EOS — HF's vectorized ``_update_finished_beams`` divides by
+      ``cur_len + 1 - decoder_prompt_len`` = t + 1 generated tokens at step t; live
+      beams continue from the best non-EOS candidates;
     - finalization inserts the surviving live beams (penalized at ``max_new_tokens``)
       and returns each batch's best hypothesis — HF ``BeamSearchScorer.finalize``.
     """

@@ -349,10 +349,16 @@ def fused_clm_token_nll_vocab_parallel(hidden, table, labels, scale=1.0, *,
     msz = mesh.shape.get(MODEL_AXIS, 1)
     v, d = table.shape
     if v % msz:
-        raise ValueError(f"vocab {v} must divide the model axis ({msz})")
+        raise ValueError(
+            f"model axis size {msz} must divide the vocab ({v}) for the "
+            f"vocab-parallel fused CE"
+        )
     b = hidden.shape[0]
     dsz = mesh.shape.get(_vp_axes(mesh)[0], 1)
     if b % dsz:
-        raise ValueError(f"batch {b} must divide the data axis ({dsz})")
+        raise ValueError(
+            f"data axis size {dsz} must divide the batch ({b}) for the "
+            f"vocab-parallel fused CE"
+        )
     interpret = bool(interpret) or jax.default_backend() != "tpu"
     return _make_vp_nll(mesh, float(scale), interpret)(hidden, table, labels)

@@ -452,3 +452,19 @@ def test_balanced_sample_cli(tmp_path):
         "--output_path", str(out), "--sample_size", "7", "--seed", "3",
     ])
     assert json.loads(out.read_text()) == got
+
+
+def test_device_prefetch_propagates_feeder_exception():
+    """A failure on the prefetch feeder thread (e.g. the process feeder's 120s
+    stall RuntimeError) must re-raise in the consumer — a silent end-of-stream
+    would truncate the epoch and train on partial data."""
+    from projectiontrainer_tpu.data import pipeline
+
+    def gen():
+        yield {"x": np.zeros(2, np.float32)}
+        raise RuntimeError("worker pool stalled")
+
+    it = pipeline.device_prefetch(gen(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="worker pool stalled"):
+        next(it)

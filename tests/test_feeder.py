@@ -118,3 +118,45 @@ def test_abandoned_stream_does_not_poison_next(contrastive_ds, pool):
 
     # and the pool's slots were all reclaimed (no leak across the two streams)
     assert len(pool._free) == pool.n_slots
+
+
+def test_live_stale_generator_stops_instead_of_stealing(contrastive_ds, pool):
+    """An abandoned generator that is STILL RUNNING (e.g. on a device_prefetch
+    feeder thread) must not steal the next stream's results: poll() is
+    stream-addressed, so once a newer stream starts the stale generator gets
+    StaleStreamError internally and terminates quietly, while the live stream
+    yields the correct pixels for every index."""
+    import time
+
+    idx = list(range(len(contrastive_ds) - 1))  # valid images only
+    old = feeder.map_samples_processes(contrastive_ds, idx, pool)
+    first_old = next(old)  # old stream now has in-flight tickets
+    np.testing.assert_array_equal(first_old["pixel_values"],
+                                  contrastive_ds[idx[0]]["pixel_values"])
+
+    rev = list(reversed(idx))
+    new = feeder.map_samples_processes(contrastive_ds, rev, pool)
+    first_new = next(new)  # supersedes the old stream
+
+    # the stale generator may flush a few already-buffered samples of its OWN
+    # stream, but must terminate (no hang, no exception) without consuming the
+    # live stream's results
+    leftovers = list(old)
+    assert len(leftovers) < len(idx)
+    for offset, sample in enumerate(leftovers, start=1):
+        ref = contrastive_ds[idx[offset]]
+        np.testing.assert_array_equal(sample["pixel_values"], ref["pixel_values"])
+
+    got = [first_new] + list(new)
+    assert len(got) == len(rev)
+    for i, sample in zip(rev, got):
+        ref = contrastive_ds[i]
+        np.testing.assert_array_equal(sample["pixel_values"], ref["pixel_values"])
+        assert sample["class_idx"] == ref["class_idx"]
+
+    # drain any straggler old-stream results so the slot pool fully recovers
+    s3 = pool.new_stream()
+    deadline = time.monotonic() + 30
+    while len(pool._free) < pool.n_slots and time.monotonic() < deadline:
+        pool.poll(s3, timeout=0.5)
+    assert len(pool._free) == pool.n_slots
