@@ -79,12 +79,15 @@ def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_
     # pad the question to a BUCKET, not the batch max: a per-batch dynamic length
     # recompiles the whole generate graph for every distinct value (minutes each on
     # TPU); the bucket grid bounds compilation count like the training feed
-    from projectiontrainer_tpu.data.bucketing import DEFAULT_Q_BUCKETS, bucket_for
+    from projectiontrainer_tpu.data.bucketing import (
+        DEFAULT_Q_BUCKETS, bucket_for, buckets_covering,
+    )
 
-    q_len = min(bucket_for(max(len(q) for q in q_tok), DEFAULT_Q_BUCKETS), max_q_len)
+    grid = buckets_covering(max_q_len, DEFAULT_Q_BUCKETS)  # max_q_len beyond the
+    q_len = min(bucket_for(max(len(q) for q in q_tok), grid), max_q_len)  # grid widens it
     q_ids = np.full((len(samples), q_len), pad, np.int32)
     for i, q in enumerate(q_tok):  # left padding: last slot is the last question token
-        q = q[:q_len]
+        q = q[-q_len:]  # over-bucket truncation keeps the tokens nearest the answer
         q_ids[i, q_len - len(q):] = q
 
     visual = vlm.visual_embeds(params, vlm_cfg, jnp.asarray(pixels))

@@ -29,8 +29,26 @@ def bucket_for(length: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def buckets_covering(max_len: int, buckets: Sequence[int]) -> tuple[int, ...]:
+    """The grid extended (when needed) so its largest bucket covers ``max_len``.
+
+    A configured ``max_q_len``/``max_a_len`` beyond the default grid must WIDEN the
+    grid — otherwise ``bucket_for`` clamps to the old top bucket and ``pad_to``
+    silently truncates every longer sequence (dropping answer tails including EOS,
+    or the prompt tokens adjacent to the answer)."""
+    if max_len <= buckets[-1]:
+        return tuple(buckets)
+    return tuple(buckets) + (int(max_len),)
+
+
 def pad_to(ids: np.ndarray, size: int, pad_id: int, *, side: str = "right") -> np.ndarray:
-    ids = np.asarray(ids[:size], np.int32)
+    """Pad (or truncate) to ``size`` honoring the padding side. Truncation keeps the
+    end that the padding side is protecting: the HEAD for right padding (tokenizer
+    ``truncation=True`` semantics) and the TAIL for left padding (left-padded
+    generation prompts must keep the tokens immediately before the answer)."""
+    ids = np.asarray(ids, np.int32)
+    if len(ids) > size:
+        ids = ids[:size] if side == "right" else ids[-size:]
     pad = np.full((size - len(ids),), pad_id, np.int32)
     return np.concatenate([ids, pad] if side == "right" else [pad, ids])
 

@@ -35,6 +35,12 @@ class LoraConfig:
     dropout: float = 0.05
     targets: tuple = TARGETS
 
+    def __post_init__(self):
+        if not 0.0 <= self.dropout < 1.0:
+            # dropout=1.0 would zero the LoRA branch always AND divide the
+            # inverted-dropout rescale by a zero keep threshold — reject up front
+            raise ValueError(f"lora dropout must be in [0, 1), got {self.dropout}")
+
     @property
     def scaling(self) -> float:
         return self.alpha / self.r

@@ -167,11 +167,19 @@ def fused_shifted_clm_loss(hidden, embed_table, labels, *, logits_scale: float =
     return token_loss.sum() / jnp.maximum(count, 1e-9), count.astype(jnp.int32)
 
 
-def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None):
+def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=None,
+                         sample_weight=None):
     """The reference's Stage-0 contrastive loss, replicated exactly (Stage0/
     train_vision_encoder_stage0.py:260-269): L2-normalize both towers, pairwise logits
     ``img @ txt.T * exp(logit_scale)`` (+ optional bias), **eye-matrix labels** with
     binary cross entropy summed then divided by n.
+
+    ``sample_weight`` (0/1 per row) excludes straggler-batch filler rows: a filler
+    duplicating a real row has IDENTICAL features, so its off-diagonal "negative"
+    logit equals the true positive logit — an unmasked filler injects a large
+    spurious BCE term pushing the real pair apart. Masking both the filler's row and
+    column and dividing by n_real reproduces the reference's genuinely smaller final
+    DDP batch.
 
     NOTE: this deliberately differs from canonical SigLIP's ±1 log-sigmoid loss — the
     reference uses BCE against an identity matrix; we replicate, not "fix" (SURVEY §7.1.4).
@@ -188,7 +196,10 @@ def siglip_pairwise_loss(image_features, text_features, logit_scale, logit_bias=
     labels = jnp.eye(n, dtype=jnp.float32)
     # BCE-with-logits, sum reduction / n
     per = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return per.sum() / n
+    if sample_weight is None:
+        return per.sum() / n
+    w = sample_weight.astype(jnp.float32)
+    return (per * (w[:, None] * w[None, :])).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def _masked_logsumexp(x, mask, temperature):
@@ -202,7 +213,8 @@ def _masked_logsumexp(x, mask, temperature):
     return temperature * (m[..., 0] + jnp.log(jnp.maximum(s, 1e-38)))
 
 
-def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1.0):
+def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1.0,
+                            sample_weights=None):
     """Kobayashi CVPR'23 two-way multi-label loss, vectorized.
 
     Replicates ``TwoWayMultiLabelLoss`` (cls_evaluate/train_twoway_loss.py:166-286):
@@ -210,14 +222,26 @@ def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1
     class), each ``softplus(T_n*LSE(x_neg/T_n) + T_p*LSE(-x_pos/T_p))``, zero when a
     row/column lacks positives or negatives; final = (mean_sample + mean_class) / 2.
 
+    ``sample_weights`` (0/1 per row) excludes straggler-batch filler rows from BOTH
+    directions — fillers would otherwise be double-counted in the sample mean and
+    inflate every class's over-the-batch logsumexp; the reference's final batch is
+    genuinely smaller.
+
     The reference loops in Python per sample/class; here both directions are one masked
     logsumexp over the [B, C] matrix — the TPU-native formulation.
     """
     logits = logits.astype(jnp.float32)
     pos = targets == 1
     neg = targets == 0
+    if sample_weights is not None:
+        real = (sample_weights > 0)[:, None]
+        pos = pos & real
+        neg = neg & real
+        n_samples = jnp.maximum(jnp.sum(real).astype(jnp.float32), 1.0)
+    else:
+        n_samples = float(targets.shape[0])
 
-    def direction(axis):
+    def direction(axis, denom):
         p = jnp.moveaxis(pos, axis, -1)
         n = jnp.moveaxis(neg, axis, -1)
         x = jnp.moveaxis(logits, axis, -1)
@@ -225,10 +249,10 @@ def two_way_multilabel_loss(logits, targets, *, t_p: float = 4.0, t_n: float = 1
         lse_neg = _masked_logsumexp(x, n, t_n)
         lse_pos = _masked_logsumexp(-x, p, t_p)
         loss = jax.nn.softplus(lse_neg + lse_pos)
-        return jnp.mean(jnp.where(has_both, loss, 0.0))
+        return jnp.sum(jnp.where(has_both, loss, 0.0)) / denom
 
-    sample_loss = direction(1)  # reduce over classes for each sample
-    class_loss = direction(0)   # reduce over batch for each class
+    sample_loss = direction(1, n_samples)          # over classes for each REAL sample
+    class_loss = direction(0, float(targets.shape[1]))  # over real rows for each class
     return (sample_loss + class_loss) / 2.0
 
 

@@ -331,17 +331,28 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
             img, txt, scale, bias = siglip.forward_contrastive(
                 params, cfg, batch["pixel_values"], batch["input_ids"], remat=remat
             )
+        w = batch.get("sample_weight")  # 0 for straggler-batch filler rows: a filler
+        # duplicating a real row is a false negative in the pairwise matrix
+        valid = batch.get("valid")  # missing-image placeholders — the reference's
+        # collate drops them before the loss (Stage0:237-257)
+        if valid is not None:
+            vf = valid.astype(jnp.float32)
+            w = vf if w is None else w * vf
         if local_negatives_shards > 1:
             b = img.shape[0]
             per = b // local_negatives_shards
             img_s = img.reshape(local_negatives_shards, per, -1)
             txt_s = txt.reshape(local_negatives_shards, per, -1)
+            w_s = (jnp.ones((local_negatives_shards, per), jnp.float32) if w is None
+                   else w.reshape(local_negatives_shards, per))
             shard_losses = jax.vmap(
-                lambda i, t: losses.siglip_pairwise_loss(i, t, scale[0], bias[0])
-            )(img_s, txt_s)
+                lambda i, t, sw: losses.siglip_pairwise_loss(
+                    i, t, scale[0], bias[0], sample_weight=sw)
+            )(img_s, txt_s, w_s)
             loss = shard_losses.mean()
         else:
-            loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0])
+            loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0],
+                                               sample_weight=w)
         return loss, {}
 
     return loss_fn
@@ -360,7 +371,10 @@ def classifier_loss(cfg: cls_model.ClassifierConfig, *, multilabel: bool = False
             params = dtypes.cast_compute_params(params, compute_dtype)
         logits = cls_model.forward(params, cfg, batch["pixel_values"], dropout_rng=rng)
         if multilabel:
-            loss = losses.two_way_multilabel_loss(logits, batch["targets"], t_p=t_p, t_n=t_n)
+            loss = losses.two_way_multilabel_loss(
+                logits, batch["targets"], t_p=t_p, t_n=t_n,
+                sample_weights=batch.get("sample_weight"),
+            )
         else:
             loss = losses.softmax_ce_loss(
                 logits, batch["target_indices"],

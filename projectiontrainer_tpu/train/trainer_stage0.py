@@ -115,7 +115,9 @@ class Stage0Trainer:
         for epoch in range(self.start_epoch, cfg.num_epochs):
             loss_sum, n_losses = None, 0
             for batch in common.feed(self.train_dataset, cfg, self.mesh, epoch=epoch):
-                model_batch = {k: batch[k] for k in ("pixel_values", "input_ids")}
+                model_batch = {k: batch[k] for k in
+                               ("pixel_values", "input_ids", "sample_weight", "valid")
+                               if k in batch}
                 self.profiler.step(self.global_step)
                 self.state, loss, aux = self.train_step(
                     self.state, model_batch, jax.random.key(self.global_step)

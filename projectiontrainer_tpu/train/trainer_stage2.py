@@ -69,9 +69,14 @@ class Stage2Trainer:
         # schedule ends exactly at max_train_steps (VERDICT r1 weak #2).
         gbs = common.global_batch_size(cfg, self.mesh)
         q_lens, a_lens = train_dataset.token_lengths()
+        # widen the grids when the configured max lengths exceed the default top
+        # bucket — bucket clamping would otherwise silently truncate long sequences
+        qb = bucketing.buckets_covering(cfg.max_q_len, bucketing.DEFAULT_Q_BUCKETS)
+        ab = bucketing.buckets_covering(cfg.max_a_len, bucketing.DEFAULT_A_BUCKETS)
         self._train_plans = [
             bucketing.global_bucket_plan(
-                q_lens, a_lens, batch_size=gbs, epoch=e, seed=cfg.seed
+                q_lens, a_lens, batch_size=gbs, epoch=e, seed=cfg.seed,
+                q_buckets=qb, a_buckets=ab,
             )
             for e in range(cfg.num_epochs)
         ]
@@ -79,7 +84,8 @@ class Stage2Trainer:
         if val_dataset is not None and len(val_dataset):
             vq, va = val_dataset.token_lengths()
             self._val_plan = bucketing.global_bucket_plan(
-                vq, va, batch_size=gbs, epoch=0, seed=cfg.seed, shuffle=False
+                vq, va, batch_size=gbs, epoch=0, seed=cfg.seed, shuffle=False,
+                q_buckets=qb, a_buckets=ab,
             )
         accum = cfg.gradient_accumulation_steps
         self.max_train_steps = sum(-(-len(p) // accum) for p in self._train_plans)

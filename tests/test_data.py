@@ -468,3 +468,34 @@ def test_device_prefetch_propagates_feeder_exception():
     next(it)
     with pytest.raises(RuntimeError, match="worker pool stalled"):
         next(it)
+
+
+def test_pad_to_truncates_on_the_padding_side():
+    """Over-bucket truncation keeps the end the padding side protects: the head for
+    right padding (tokenizer truncation semantics), the TAIL for left padding
+    (generation prompts keep the tokens immediately before the answer)."""
+    ids = np.arange(1, 9, dtype=np.int32)  # [1..8]
+    np.testing.assert_array_equal(
+        bucketing.pad_to(ids, 4, 0, side="right"), [1, 2, 3, 4])
+    np.testing.assert_array_equal(
+        bucketing.pad_to(ids, 4, 0, side="left"), [5, 6, 7, 8])
+    # padding (shorter than size) unchanged by the fix
+    np.testing.assert_array_equal(
+        bucketing.pad_to(ids[:2], 4, 0, side="left"), [0, 0, 1, 2])
+
+
+def test_buckets_covering_widens_grid_for_long_max_len():
+    """max_q_len/max_a_len beyond the default top bucket must widen the grid, not
+    silently truncate every longer sequence at the old top bucket."""
+    assert bucketing.buckets_covering(256, bucketing.DEFAULT_Q_BUCKETS) == \
+        tuple(bucketing.DEFAULT_Q_BUCKETS)
+    wide = bucketing.buckets_covering(512, bucketing.DEFAULT_Q_BUCKETS)
+    assert wide[-1] == 512 and wide[:-1] == tuple(bucketing.DEFAULT_Q_BUCKETS)
+    assert bucketing.bucket_for(300, wide) == 512
+
+
+def test_lora_dropout_one_rejected():
+    from projectiontrainer_tpu.train import lora as lora_mod
+
+    with pytest.raises(ValueError, match="dropout"):
+        lora_mod.LoraConfig(dropout=1.0)

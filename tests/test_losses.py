@@ -226,3 +226,46 @@ def test_weighted_softmax_ce_matches_real_subset():
     weighted = losses.softmax_ce_loss(logits, targets, sample_weights=w)
     subset = losses.softmax_ce_loss(logits[:3], targets[:3])
     np.testing.assert_allclose(float(weighted), float(subset), rtol=1e-6)
+
+
+def test_weighted_siglip_pairwise_matches_real_subset():
+    """Straggler-batch fillers (weight 0) must vanish from the pairwise matrix: the
+    weighted loss over the padded batch equals the unweighted loss over the real
+    rows alone — the reference's genuinely smaller final DDP batch (a filler
+    duplicating a real row would otherwise be a false negative with a logit equal
+    to the true positive's)."""
+    rng = np.random.default_rng(0)
+    n_real, n_pad = 5, 3
+    img = rng.normal(size=(n_real, 8)).astype(np.float32)
+    txt = rng.normal(size=(n_real, 8)).astype(np.float32)
+    # fillers duplicate real rows, like fixed_batcher/global_bucket_plan
+    imgp = np.concatenate([img, img[:n_pad]])
+    txtp = np.concatenate([txt, txt[:n_pad]])
+    w = np.concatenate([np.ones(n_real), np.zeros(n_pad)]).astype(np.float32)
+
+    ref = losses.siglip_pairwise_loss(jnp.asarray(img), jnp.asarray(txt), 0.7, 0.1)
+    got = losses.siglip_pairwise_loss(jnp.asarray(imgp), jnp.asarray(txtp), 0.7, 0.1,
+                                      sample_weight=jnp.asarray(w))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    # and the unweighted padded loss is genuinely different (the bug this guards)
+    bad = losses.siglip_pairwise_loss(jnp.asarray(imgp), jnp.asarray(txtp), 0.7, 0.1)
+    assert abs(float(bad) - float(ref)) > 1e-3
+
+
+def test_weighted_two_way_loss_matches_real_subset():
+    """Filler rows must be excluded from BOTH directions of the two-way loss: the
+    sample-wise mean and every class's over-the-batch logsumexp."""
+    rng = np.random.default_rng(1)
+    n_real, n_pad, ncls = 6, 2, 4
+    logits = rng.normal(size=(n_real, ncls)).astype(np.float32)
+    targets = rng.integers(0, 2, size=(n_real, ncls))
+    logitsp = np.concatenate([logits, logits[:n_pad]])
+    targetsp = np.concatenate([targets, targets[:n_pad]])
+    w = np.concatenate([np.ones(n_real), np.zeros(n_pad)]).astype(np.float32)
+
+    ref = losses.two_way_multilabel_loss(jnp.asarray(logits), jnp.asarray(targets))
+    got = losses.two_way_multilabel_loss(jnp.asarray(logitsp), jnp.asarray(targetsp),
+                                         sample_weights=jnp.asarray(w))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    bad = losses.two_way_multilabel_loss(jnp.asarray(logitsp), jnp.asarray(targetsp))
+    assert abs(float(bad) - float(ref)) > 1e-4
