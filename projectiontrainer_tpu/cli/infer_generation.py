@@ -29,10 +29,18 @@ def build_parser():
     p = _vqa_parser()
     p.description = __doc__
     p.add_argument("--prompt", type=str, default=DIAGNOSTIC_PROMPT)
+    # reference surface (Stage2/inference_generation.py:215-217): --max_length is the
+    # reference's name for the generation budget; --candidate_labels drives the
+    # prediction-distribution summary; --verbose prints each sample as it finishes
+    p.add_argument("--max_length", type=int, default=None,
+                   help="Alias for --max_new_tokens (reference flag name)")
+    p.add_argument("--candidate_labels", type=str, default=None,
+                   help="Comma-separated labels for the prediction-distribution summary")
+    p.add_argument("--verbose", action="store_true")
     return p
 
 
-def display_summary(results, logger):
+def display_summary(results, logger, candidate_labels=()):
     per_label = M.per_label_substring_accuracy(
         [r["generated_answer"] for r in results],
         [r.get("normal_caption", "") for r in results],
@@ -41,8 +49,22 @@ def display_summary(results, logger):
     total = sum(n for _, n in per_label.values())
     logger.info("overall substring accuracy: %.4f (%d/%d)",
                 total_hits / max(1, total), total_hits, total)
-    for label, (hits, n) in sorted(per_label.items()):
-        logger.info("  %-30s %3d/%3d  (%.3f)", label, hits, n, hits / max(1, n))
+    # GT-frequency ordering, like the reference (inference_generation.py:176-181)
+    for label, (hits, n) in sorted(per_label.items(), key=lambda kv: -kv[1][1]):
+        logger.info("  %-30s %3d/%3d  (%.3f)  [%.2f%% of GT]",
+                    label, hits, n, hits / max(1, n), 100.0 * n / max(1, total))
+    if candidate_labels:
+        # prediction distribution: how often each CANDIDATE label appears in a
+        # generation (reference inference_generation.py:168-171,191-200)
+        pred_counts = collections.Counter()
+        for r in results:
+            gen = r["generated_answer"].lower()
+            for label in candidate_labels:
+                if label.lower() in gen:
+                    pred_counts[label] += 1
+        logger.info("prediction distribution (candidate label found in generation):")
+        for label, n in pred_counts.most_common():
+            logger.info("  %-30s %3d (%.2f%%)", label, n, 100.0 * n / max(1, total))
     gen_counter = collections.Counter(r["generated_answer"].strip() for r in results)
     logger.info("top generated answers: %s", gen_counter.most_common(10))
     return total_hits / max(1, total)
@@ -50,6 +72,11 @@ def display_summary(results, logger):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.max_length is not None:
+        args.max_new_tokens = args.max_length
+    candidate_labels = [
+        c.strip() for c in (args.candidate_labels or "").split(",") if c.strip()
+    ]
     logger = setup_logging()
     vlm_cfg, params, _ = setup.build_vlm(
         args.vision_model_name, args.llm_name, stage1_projector_path=args.projector_path,
@@ -89,8 +116,11 @@ def main(argv=None):
         )[:n_real]
         for s, a in zip(samples[i:i + args.batch_size], answers):
             results.append({**s, "generated_answer": a})
+            if args.verbose:
+                logger.info("[%d] gt=%r gen=%r", len(results),
+                            s.get("normal_caption", ""), a)
 
-    acc = display_summary(results, logger)
+    acc = display_summary(results, logger, candidate_labels)
     with open(args.output_json, "w") as f:
         json.dump({"accuracy": acc, "results": results}, f, indent=2)
     return acc

@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_p", type=float, default=None)
     p.add_argument("--top_k", type=int, default=None)
+    # reference launcher passes this (Stage1/run_inference_stage1.sh,
+    # inference_stage1.py:23 default 1.0)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
     return p
 
 
@@ -57,7 +60,8 @@ def main(argv=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
         do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
-        top_k=args.top_k, eos_token_id=tokenizer.eos_token_id,
+        top_k=args.top_k, repetition_penalty=args.repetition_penalty,
+        eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0,
     )
     text = caption_image(

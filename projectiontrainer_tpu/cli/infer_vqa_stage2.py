@@ -36,7 +36,10 @@ def build_parser():
     p.add_argument("--image_root", type=str, default=None)
     p.add_argument("--image_root_2", type=str, default=None)
     p.add_argument("--vision_model_name", type=str, required=True)
-    p.add_argument("--llm_name", type=str, required=True)
+    # --base_llm_name is the reference launchers' spelling
+    # (Stage2/run_vqa_inference_stage2.sh, run_generation_inference.sh)
+    p.add_argument("--llm_name", "--base_llm_name", dest="llm_name", type=str,
+                   required=True)
     p.add_argument("--adapter_path", type=str, default=None,
                    help="Directory containing adapter_model.safetensors (LoRA)")
     p.add_argument("--projector_path", type=str, required=True)

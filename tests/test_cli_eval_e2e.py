@@ -123,7 +123,7 @@ def test_stage2_then_vqa_and_generation_inference(snapshots, corpus, tmp_path):
     preds = str(tmp_path / "preds.json")
     infer_vqa_stage2.main([
         "--input_json", manifest, "--image_root", root, "--output_json", preds,
-        "--vision_model_name", vis_dir, "--llm_name", llm_dir,
+        "--vision_model_name", vis_dir, "--base_llm_name", llm_dir,  # reference spelling
         "--adapter_path", os.path.join(ckpt, "language_model"),
         "--projector_path", os.path.join(ckpt, "projection_layer"),
         "--img_size", "32", "--batch_size", "4", "--max_q_len", "12",
@@ -142,7 +142,8 @@ def test_stage2_then_vqa_and_generation_inference(snapshots, corpus, tmp_path):
         "--adapter_path", os.path.join(ckpt, "language_model"),
         "--projector_path", os.path.join(ckpt, "projection_layer"),
         "--img_size", "32", "--batch_size", "4", "--max_q_len", "16",
-        "--max_new_tokens", "6", "--num_beams", "3",
+        "--max_length", "6", "--num_beams", "3",  # reference flag name
+        "--candidate_labels", "Pneumonia,Edema,Cardiomegaly,No Finding", "--verbose",
     ])
     assert 0.0 <= acc <= 1.0
     assert len(json.load(open(gen_out))["results"]) == 10
