@@ -1,9 +1,11 @@
-"""Generic GQA+RoPE causal decoder covering the Gemma3 and Qwen3 families.
+"""Generic GQA+RoPE causal decoder covering the Gemma3, Qwen3, Llama, and Mistral families.
 
 The reference loads its LLMs through HF ``AutoModelForCausalLM`` (reference:
 Stage1/train_projection_stage1.py:204-210, Stage2/train_vqa_stage2.py:169-187; models
-``google/gemma-3-1b-it`` and ``Qwen/Qwen3-8B``). Here both families are one functional
-decoder parameterized by :class:`DecoderConfig`; family differences are config flags:
+``google/gemma-3-1b-it`` and ``Qwen/Qwen3-8B``) — so any causal LM is fair game as the
+VLM backbone. Here the families are one functional decoder parameterized by
+:class:`DecoderConfig`; family differences are config flags (Llama = Qwen3 minus qk-norm
+plus optional llama3 rope scaling; Mistral = Llama with every layer sliding):
 
 ==================  ======================  =====================
 feature             Gemma3                  Qwen3
@@ -50,6 +52,9 @@ class DecoderConfig:
     rope_theta: float = 1_000_000.0
     rope_local_theta: Optional[float] = None     # used by sliding layers (Gemma3)
     rope_scaling_factor: float = 1.0             # linear rope scaling on full layers
+    # Llama-3 frequency-dependent rope scaling: (factor, low_freq_factor,
+    # high_freq_factor, original_max_position_embeddings); None = off
+    rope_llama3: Optional[tuple] = None
     layer_types: tuple = ()                      # per-layer: 'full' | 'sliding'
     sliding_window: Optional[int] = None
     query_pre_attn_scalar: Optional[float] = None
@@ -142,6 +147,38 @@ def from_hf_config(hf) -> DecoderConfig:
             tie_embeddings=getattr(hf, "tie_word_embeddings", False),
             attention_bias=getattr(hf, "attention_bias", False),
         )
+    if model_type in ("llama", "mistral"):
+        # Llama/Mistral structure: pre-LN, silu, no qk-norm, no embed scale, plain
+        # rmsnorm. Mistral (v0.1) slides EVERY layer with the single global theta;
+        # Llama-3 checkpoints carry frequency-dependent rope scaling.
+        factor, llama3 = 1.0, None
+        rs = getattr(hf, "rope_scaling", None)
+        if rs:
+            rtype = rs.get("rope_type", rs.get("type", "default"))
+            if rtype == "linear":
+                factor = float(rs.get("factor", 1.0))
+            elif rtype == "llama3":
+                llama3 = (
+                    float(rs["factor"]), float(rs["low_freq_factor"]),
+                    float(rs["high_freq_factor"]),
+                    float(rs["original_max_position_embeddings"]),
+                )
+            elif rtype != "default":
+                raise ValueError(f"unsupported rope_scaling type: {rtype!r}")
+        sliding = getattr(hf, "sliding_window", None)
+        head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads
+        return DecoderConfig(
+            vocab_size=hf.vocab_size, hidden_size=hf.hidden_size,
+            intermediate_size=hf.intermediate_size, num_layers=hf.num_hidden_layers,
+            num_heads=hf.num_attention_heads, num_kv_heads=hf.num_key_value_heads,
+            head_dim=head_dim, rms_norm_eps=hf.rms_norm_eps, act="silu",
+            rope_theta=hf.rope_theta, rope_scaling_factor=factor, rope_llama3=llama3,
+            layer_types=("sliding" if sliding else "full",) * hf.num_hidden_layers,
+            sliding_window=sliding, query_pre_attn_scalar=None, qk_norm=False,
+            rmsnorm_zero_centered=False, sandwich_norms=False, embed_scale=False,
+            tie_embeddings=getattr(hf, "tie_word_embeddings", False),
+            attention_bias=getattr(hf, "attention_bias", False),
+        )
     raise ValueError(f"unsupported HF model_type: {model_type!r}")
 
 
@@ -208,7 +245,7 @@ def _rope_for_layer(cfg: DecoderConfig, layer_type: str, positions):
         return L.rope_frequencies(cfg.head_dim, positions, theta=cfg.rope_local_theta)
     return L.rope_frequencies(
         cfg.head_dim, positions, theta=cfg.rope_theta,
-        scaling_factor=cfg.rope_scaling_factor,
+        scaling_factor=cfg.rope_scaling_factor, llama3_scaling=cfg.rope_llama3,
     )
 
 

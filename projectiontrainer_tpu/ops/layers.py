@@ -107,12 +107,31 @@ ACTIVATIONS = {
 
 
 def rope_frequencies(head_dim: int, positions, *, theta: float = 10000.0,
-                     scaling_factor: float = 1.0):
-    """Return (sin, cos) of shape [*positions.shape, head_dim//2], fp32."""
+                     scaling_factor: float = 1.0, llama3_scaling=None):
+    """Return (sin, cos) of shape [*positions.shape, head_dim//2], fp32.
+
+    ``llama3_scaling`` = (factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings): HF's frequency-dependent Llama-3 rope scaling
+    (``_compute_llama3_parameters``) — long wavelengths divide by ``factor``, short ones
+    stay, the band between interpolates smoothly.
+    """
     fraction = 2.0 * jnp.arange(0, head_dim // 2, dtype=jnp.float32) / head_dim
     timescale = theta ** fraction  # [head_dim//2]
+    inv_freq = 1.0 / timescale
+    if llama3_scaling is not None:
+        factor, low_ff, high_ff, orig_max = llama3_scaling
+        low_wavelen = orig_max / low_ff
+        high_wavelen = orig_max / high_ff
+        wavelen = 2.0 * jnp.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        mid = (1.0 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wavelen, scaled,
+            jnp.where(wavelen < high_wavelen, inv_freq, mid),
+        )
     pos = positions.astype(jnp.float32) / scaling_factor
-    angle = pos[..., None] / timescale  # [..., head_dim//2]
+    angle = pos[..., None] * inv_freq  # [..., head_dim//2]
     return jnp.sin(angle), jnp.cos(angle)
 
 

@@ -48,6 +48,41 @@ def _hf_qwen3(vocab=257, hidden=64, layers=3, heads=4, kv_heads=2, head_dim=16):
     return cfg, model
 
 
+def _hf_llama(vocab=257, hidden=64, layers=3, heads=4, kv_heads=2, *, llama3_rope=True):
+    from transformers import LlamaConfig
+    from transformers.models.llama.modeling_llama import LlamaModel
+
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=layers, num_attention_heads=heads, num_key_value_heads=kv_heads,
+        rope_theta=500_000.0, max_position_embeddings=128,
+        rope_scaling=(
+            {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+             "high_freq_factor": 4.0, "original_max_position_embeddings": 64}
+            if llama3_rope else None
+        ),
+        attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    model = LlamaModel(cfg).eval()
+    return cfg, model
+
+
+def _hf_mistral(vocab=257, hidden=64, layers=3, heads=4, kv_heads=2):
+    from transformers import MistralConfig
+    from transformers.models.mistral.modeling_mistral import MistralModel
+
+    cfg = MistralConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=layers, num_attention_heads=heads, num_key_value_heads=kv_heads,
+        rope_theta=10_000.0, sliding_window=8, max_position_embeddings=128,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(3)
+    model = MistralModel(cfg).eval()
+    return cfg, model
+
+
 def _run_parity(hf_cfg, hf_model, with_padding=False):
     cfg = dec.from_hf_config(hf_cfg)
     sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
@@ -109,6 +144,23 @@ def test_qwen3_parity():
 
 def test_qwen3_parity_with_padding():
     _run_parity(*_hf_qwen3(), with_padding=True)
+
+
+def test_llama_parity_llama3_rope():
+    """Llama structure incl. the frequency-dependent llama3 rope scaling."""
+    _run_parity(*_hf_llama())
+
+
+def test_llama_parity_plain_rope_with_padding():
+    _run_parity(*_hf_llama(llama3_rope=False), with_padding=True)
+
+
+def test_mistral_parity_sliding_window():
+    """Mistral: every layer slides (window smaller than the 17-token test seq)."""
+    hf_cfg, hf_model = _hf_mistral()
+    cfg = dec.from_hf_config(hf_cfg)
+    assert set(cfg.layer_types) == {"sliding"} and cfg.sliding_window == 8
+    _run_parity(hf_cfg, hf_model)
 
 
 def test_inputs_embeds_path_matches_ids_path():
