@@ -1,0 +1,320 @@
+"""Production VQA serving: HTTP endpoint with micro-batched, bucketed TPU decode.
+
+The reference has no serving story — its closest surface is the batch-JSON inference
+script (reference: Stage2/inference_vqa_stage2.py:292-469). This is the deployment-side
+counterpart: a threaded HTTP server whose requests are micro-batched into the SAME
+static-shape jitted generate path the batch CLI uses, so XLA compiles a bounded set of
+programs ((question-bucket, batch) pairs) and every request rides a full batch when load
+allows.
+
+Design (TPU-first):
+- requests queue up; a single device worker drains up to ``--batch_size`` requests,
+  waiting at most ``--max_wait_ms`` for the batch to fill — classic micro-batching:
+  latency is bounded while throughput approaches the offline batch path under load;
+- stragglers are padded to the compiled batch shape (same trick as the batch CLI), so
+  there is exactly ONE compiled program per question bucket after warmup;
+- ``--warmup`` pre-compiles every (bucket, batch) program at startup so the first
+  real request never pays a compile.
+
+Endpoints:
+  POST /v1/vqa      {"image": <base64 jpeg/png>|"image_path": <server path>,
+                     "question": str}               -> {"answer": str, "latency_ms": f}
+  GET  /healthz     liveness + device info
+  GET  /stats       request count, p50/p95 latency, batch-size histogram
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+from projectiontrainer_tpu.utils.logging import setup_logging
+
+
+def build_parser():
+    from projectiontrainer_tpu.cli.infer_vqa_stage2 import build_parser as _vqa_parser
+
+    p = _vqa_parser()
+    p.description = __doc__
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_wait_ms", type=float, default=20.0,
+                   help="How long the batcher waits for a batch to fill")
+    p.add_argument("--warmup", action="store_true",
+                   help="Pre-compile every (bucket, batch) program at startup")
+    return p
+
+
+class _Request:
+    __slots__ = ("pixels", "q_ids", "event", "answer", "error", "t_enqueue")
+
+    def __init__(self, pixels, q_ids):
+        self.pixels = pixels          # [H, W, C] float32, preprocessed
+        self.q_ids = q_ids            # list[int] question token ids (no specials)
+        self.event = threading.Event()
+        self.answer = None
+        self.error = None
+        self.t_enqueue = time.perf_counter()
+
+
+class VQAService:
+    """Owns the model and the micro-batching device worker."""
+
+    def __init__(self, args, logger):
+        import jax.numpy as jnp  # deferred so --help works without a device
+
+        from projectiontrainer_tpu.data.bucketing import (
+            DEFAULT_Q_BUCKETS, buckets_covering,
+        )
+        from projectiontrainer_tpu.generate import GenerationConfig
+        from projectiontrainer_tpu.train import lora as lora_mod, setup
+
+        self.args = args
+        self.logger = logger
+        self.vlm_cfg, self.params, _ = setup.build_vlm(
+            args.vision_model_name, args.llm_name,
+            stage1_projector_path=args.projector_path,
+        )
+        self.tokenizer = setup.load_tokenizer(args.llm_name)
+        if args.adapter_path:
+            import os
+
+            from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
+
+            lora = load_flat_safetensors(
+                os.path.join(args.adapter_path, "adapter_model.safetensors")
+            )
+            self.params["llm"] = lora_mod.merge_into_decoder(
+                self.params["llm"], lora,
+                lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+            )
+            logger.info("merged LoRA adapters from %s", args.adapter_path)
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
+            do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
+            top_k=args.top_k, repetition_penalty=args.repetition_penalty,
+            length_penalty=args.length_penalty,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id or 0,
+            approx_top_k=args.approx_topk,
+        )
+        self.pad = self.tokenizer.pad_token_id or 0
+        self.buckets = buckets_covering(args.max_q_len, DEFAULT_Q_BUCKETS)
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self.latencies: list[float] = []
+        self.batch_sizes: list[int] = []
+        self._lock = threading.Lock()
+        self._jnp = jnp
+        self._stop = threading.Event()
+        self.worker = threading.Thread(target=self._worker, daemon=True)
+        self.worker.start()
+
+    # ---------------------------------------------------------------- request prep
+
+    def preprocess(self, body: dict) -> _Request:
+        from projectiontrainer_tpu.data import image as I
+
+        if "image" in body:
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+            img = np.asarray(img.convert("RGB"))
+        elif "image_path" in body:
+            img = I.load_image(
+                I.resolve_image_path(body["image_path"], self.args.image_root,
+                                     self.args.image_root_2)
+            )
+        else:
+            raise ValueError("request needs 'image' (base64) or 'image_path'")
+        pixels = I.preprocess(img, self.args.img_size)
+        q_ids = self.tokenizer(
+            body.get("question", "Describe the findings."),
+            max_length=self.args.max_q_len, truncation=True,
+            add_special_tokens=False,
+        )["input_ids"]
+        return _Request(pixels, q_ids)
+
+    def submit(self, req: _Request, timeout_s: float = 300.0) -> str:
+        self.queue.put(req)
+        if not req.event.wait(timeout_s):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.answer
+
+    # ---------------------------------------------------------------- device worker
+
+    def _drain_batch(self) -> list[_Request]:
+        first = self.queue.get()
+        if first is None:  # shutdown sentinel
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.args.max_wait_ms / 1e3
+        while len(batch) < self.args.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self.queue.put(None)  # re-post for the outer loop to see
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run_batch(self, batch: list[_Request]) -> list[str]:
+        from projectiontrainer_tpu.data.bucketing import bucket_for
+        from projectiontrainer_tpu.generate import generate
+        from projectiontrainer_tpu.models import decoder as dec, vlm
+
+        jnp = self._jnp
+        bsz = self.args.batch_size
+        n_real = len(batch)
+        pixels = np.stack([r.pixels for r in batch]
+                          + [batch[-1].pixels] * (bsz - n_real))
+        q_len = min(bucket_for(max(len(r.q_ids) for r in batch), self.buckets),
+                    self.args.max_q_len)
+        q_ids = np.full((bsz, q_len), self.pad, np.int32)
+        for i, r in enumerate(batch):
+            ids = r.q_ids[-q_len:]
+            q_ids[i, q_len - len(ids):] = ids  # left pad
+
+        visual = vlm.visual_embeds(self.params, self.vlm_cfg, jnp.asarray(pixels))
+        q_emb = dec.embed(self.params["llm"], self.vlm_cfg.llm,
+                          jnp.asarray(q_ids)).astype(visual.dtype)
+        embeds = jnp.concatenate([visual, q_emb], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones(visual.shape[:2], jnp.int32),
+             jnp.asarray((q_ids != self.pad).astype(np.int32))], axis=1,
+        )
+        ids = generate(self.params["llm"], self.vlm_cfg.llm, embeds, mask, self.gen_cfg)
+        return [
+            self.tokenizer.decode([t for t in np.asarray(row) if t != self.pad],
+                                  skip_special_tokens=True)
+            for row in np.asarray(ids)[:n_real]
+        ]
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self._drain_batch()
+            if not batch:
+                return
+            try:
+                answers = self._run_batch(batch)
+                now = time.perf_counter()
+                with self._lock:
+                    self.batch_sizes.append(len(batch))
+                    self.latencies.extend(now - r.t_enqueue for r in batch)
+                for r, a in zip(batch, answers):
+                    r.answer = a
+                    r.event.set()
+            except Exception as e:  # surface the failure to every waiter
+                self.logger.exception("batch failed")
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def warmup(self):
+        """Compile every (bucket, batch) program before accepting traffic."""
+        blank = np.zeros((self.args.img_size, self.args.img_size, 3), np.float32)
+        for b in self.buckets:
+            if b > self.args.max_q_len:
+                continue
+            reqs = [_Request(blank, [self.pad] * b)
+                    for _ in range(self.args.batch_size)]
+            self._run_batch(reqs)
+            self.logger.info("warmed bucket q=%d batch=%d", b, self.args.batch_size)
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self.latencies)
+            sizes = self.batch_sizes[:]
+        pct = lambda p: (lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0)
+        return {
+            "requests": len(lat),
+            "p50_latency_s": pct(0.50),
+            "p95_latency_s": pct(0.95),
+            "batches": len(sizes),
+            "mean_batch_size": float(np.mean(sizes)) if sizes else 0.0,
+        }
+
+    def shutdown(self):
+        self._stop.set()
+        self.queue.put(None)
+
+
+def make_server(service: VQAService, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._reply(200, {"ok": True,
+                                  "devices": [str(d) for d in jax.devices()]})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/vqa":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                t0 = time.perf_counter()
+                answer = service.submit(service.preprocess(body))
+                self._reply(200, {
+                    "answer": answer,
+                    "latency_ms": (time.perf_counter() - t0) * 1e3,
+                })
+            except Exception as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *fmt_args):
+            service.logger.debug("http: " + fmt, *fmt_args)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logger = setup_logging()
+    service = VQAService(args, logger)
+    if args.warmup:
+        service.warmup()
+    server = make_server(service, args.host, args.port)
+    logger.info("serving VQA on http://%s:%d (batch=%d, wait=%.0fms)",
+                args.host, args.port, args.batch_size, args.max_wait_ms)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.shutdown()
+        server.server_close()
+    return server
+
+
+if __name__ == "__main__":
+    main()
