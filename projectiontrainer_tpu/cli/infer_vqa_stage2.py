@@ -63,32 +63,22 @@ def build_parser():
     return p
 
 
-def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_2,
-                 img_size, max_q_len, gen_cfg):
-    """samples: list of {'image', 'problem'} -> list of generated answer strings."""
-    pad = tokenizer.pad_token_id or 0
-    pixels = np.stack([
-        I.preprocess(
-            I.load_image(I.resolve_image_path(s["image"], image_root, image_root_2)),
-            img_size,
-        )
-        for s in samples
-    ])
-    q_tok = [
-        tokenizer(s["problem"], max_length=max_q_len, truncation=True,
-                  add_special_tokens=False)["input_ids"]
-        for s in samples
-    ]
-    # pad the question to a BUCKET, not the batch max: a per-batch dynamic length
-    # recompiles the whole generate graph for every distinct value (minutes each on
-    # TPU); the bucket grid bounds compilation count like the training feed
+def generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len, gen_cfg):
+    """Core VQA generation shared by the batch CLI and the serving endpoint.
+
+    ``pixels``: [B, H, W, C] preprocessed images; ``q_tok``: B question token-id lists
+    (tokenized without special tokens). Pads questions to a BUCKET, not the batch max:
+    a per-batch dynamic length recompiles the whole generate graph for every distinct
+    value (minutes each on TPU); the bucket grid bounds compilation count like the
+    training feed."""
     from projectiontrainer_tpu.data.bucketing import (
         DEFAULT_Q_BUCKETS, bucket_for, buckets_covering,
     )
 
+    pad = tokenizer.pad_token_id or 0
     grid = buckets_covering(max_q_len, DEFAULT_Q_BUCKETS)  # max_q_len beyond the
     q_len = min(bucket_for(max(len(q) for q in q_tok), grid), max_q_len)  # grid widens it
-    q_ids = np.full((len(samples), q_len), pad, np.int32)
+    q_ids = np.full((len(q_tok), q_len), pad, np.int32)
     for i, q in enumerate(q_tok):  # left padding: last slot is the last question token
         q = q[-q_len:]  # over-bucket truncation keeps the tokens nearest the answer
         q_ids[i, q_len - len(q):] = q
@@ -107,6 +97,25 @@ def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_
         tokenizer.decode([t for t in np.asarray(row) if t != pad], skip_special_tokens=True)
         for row in np.asarray(ids)
     ]
+
+
+def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_2,
+                 img_size, max_q_len, gen_cfg):
+    """samples: list of {'image', 'problem'} -> list of generated answer strings."""
+    pixels = np.stack([
+        I.preprocess(
+            I.load_image(I.resolve_image_path(s["image"], image_root, image_root_2)),
+            img_size,
+        )
+        for s in samples
+    ])
+    q_tok = [
+        tokenizer(s["problem"], max_length=max_q_len, truncation=True,
+                  add_special_tokens=False)["input_ids"]
+        for s in samples
+    ]
+    return generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer,
+                            max_q_len=max_q_len, gen_cfg=gen_cfg)
 
 
 def main(argv=None):

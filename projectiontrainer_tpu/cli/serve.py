@@ -76,13 +76,17 @@ class VQAService:
         from projectiontrainer_tpu.generate import GenerationConfig
         from projectiontrainer_tpu.train import lora as lora_mod, setup
 
+        from projectiontrainer_tpu.data.datasets import LockedTokenizer
+
         self.args = args
         self.logger = logger
         self.vlm_cfg, self.params, _ = setup.build_vlm(
             args.vision_model_name, args.llm_name,
             stage1_projector_path=args.projector_path,
         )
-        self.tokenizer = setup.load_tokenizer(args.llm_name)
+        # HF fast tokenizers are not re-entrant ("Already borrowed"): handler threads
+        # encode concurrently while the device worker decodes
+        self.tokenizer = LockedTokenizer(setup.load_tokenizer(args.llm_name))
         if args.adapter_path:
             import os
 
@@ -108,8 +112,11 @@ class VQAService:
         self.pad = self.tokenizer.pad_token_id or 0
         self.buckets = buckets_covering(args.max_q_len, DEFAULT_Q_BUCKETS)
         self.queue: queue.Queue[_Request] = queue.Queue()
-        self.latencies: list[float] = []
-        self.batch_sizes: list[int] = []
+        # bounded: a long-lived server must not grow per-request state forever
+        from collections import deque
+
+        self.latencies = deque(maxlen=65536)
+        self.batch_sizes = deque(maxlen=8192)
         self._lock = threading.Lock()
         self._jnp = jnp
         self._stop = threading.Event()
@@ -127,10 +134,17 @@ class VQAService:
             img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
             img = np.asarray(img.convert("RGB"))
         elif "image_path" in body:
-            img = I.load_image(
-                I.resolve_image_path(body["image_path"], self.args.image_root,
-                                     self.args.image_root_2)
-            )
+            import os
+
+            path = body["image_path"]
+            if not os.path.isabs(path):
+                if not self.args.image_root:
+                    raise ValueError(
+                        "relative image_path needs the server started with --image_root"
+                    )
+                path = I.resolve_image_path(path, self.args.image_root,
+                                            self.args.image_root_2)
+            img = I.load_image(path)
         else:
             raise ValueError("request needs 'image' (base64) or 'image_path'")
         pixels = I.preprocess(img, self.args.img_size)
@@ -172,36 +186,20 @@ class VQAService:
         return batch
 
     def _run_batch(self, batch: list[_Request]) -> list[str]:
-        from projectiontrainer_tpu.data.bucketing import bucket_for
-        from projectiontrainer_tpu.generate import generate
-        from projectiontrainer_tpu.models import decoder as dec, vlm
+        # same code path as the batch CLI: straggler-pad to the compiled batch shape,
+        # then the shared bucketed generate
+        from projectiontrainer_tpu.cli.infer_vqa_stage2 import generate_answers
 
-        jnp = self._jnp
         bsz = self.args.batch_size
         n_real = len(batch)
         pixels = np.stack([r.pixels for r in batch]
                           + [batch[-1].pixels] * (bsz - n_real))
-        q_len = min(bucket_for(max(len(r.q_ids) for r in batch), self.buckets),
-                    self.args.max_q_len)
-        q_ids = np.full((bsz, q_len), self.pad, np.int32)
-        for i, r in enumerate(batch):
-            ids = r.q_ids[-q_len:]
-            q_ids[i, q_len - len(ids):] = ids  # left pad
-
-        visual = vlm.visual_embeds(self.params, self.vlm_cfg, jnp.asarray(pixels))
-        q_emb = dec.embed(self.params["llm"], self.vlm_cfg.llm,
-                          jnp.asarray(q_ids)).astype(visual.dtype)
-        embeds = jnp.concatenate([visual, q_emb], axis=1)
-        mask = jnp.concatenate(
-            [jnp.ones(visual.shape[:2], jnp.int32),
-             jnp.asarray((q_ids != self.pad).astype(np.int32))], axis=1,
+        q_tok = [r.q_ids for r in batch] + [batch[-1].q_ids] * (bsz - n_real)
+        answers = generate_answers(
+            pixels, q_tok, self.vlm_cfg, self.params, self.tokenizer,
+            max_q_len=self.args.max_q_len, gen_cfg=self.gen_cfg,
         )
-        ids = generate(self.params["llm"], self.vlm_cfg.llm, embeds, mask, self.gen_cfg)
-        return [
-            self.tokenizer.decode([t for t in np.asarray(row) if t != self.pad],
-                                  skip_special_tokens=True)
-            for row in np.asarray(ids)[:n_real]
-        ]
+        return answers[:n_real]
 
     def _worker(self):
         while not self._stop.is_set():
@@ -224,20 +222,19 @@ class VQAService:
                     r.event.set()
 
     def warmup(self):
-        """Compile every (bucket, batch) program before accepting traffic."""
+        """Compile every (bucket, batch) program before accepting traffic. The serving
+        path clamps buckets to ``min(bucket, max_q_len)`` — warm exactly those shapes."""
         blank = np.zeros((self.args.img_size, self.args.img_size, 3), np.float32)
-        for b in self.buckets:
-            if b > self.args.max_q_len:
-                continue
-            reqs = [_Request(blank, [self.pad] * b)
+        for q_len in sorted({min(b, self.args.max_q_len) for b in self.buckets}):
+            reqs = [_Request(blank, [self.pad] * q_len)
                     for _ in range(self.args.batch_size)]
             self._run_batch(reqs)
-            self.logger.info("warmed bucket q=%d batch=%d", b, self.args.batch_size)
+            self.logger.info("warmed bucket q=%d batch=%d", q_len, self.args.batch_size)
 
     def stats(self) -> dict:
         with self._lock:
             lat = sorted(self.latencies)
-            sizes = self.batch_sizes[:]
+            sizes = list(self.batch_sizes)
         pct = lambda p: (lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0)
         return {
             "requests": len(lat),
@@ -279,17 +276,25 @@ def make_server(service: VQAService, host: str, port: int):
             if self.path != "/v1/vqa":
                 self._reply(404, {"error": "unknown path"})
                 return
+            # caller errors (bad JSON, missing/unreadable image) -> 400;
+            # server-side generation failures and timeouts -> 500 so clients and
+            # monitoring don't misattribute them
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
+                req = service.preprocess(body)
+            except Exception as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
                 t0 = time.perf_counter()
-                answer = service.submit(service.preprocess(body))
+                answer = service.submit(req)
                 self._reply(200, {
                     "answer": answer,
                     "latency_ms": (time.perf_counter() - t0) * 1e3,
                 })
             except Exception as e:
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *fmt_args):
             service.logger.debug("http: " + fmt, *fmt_args)

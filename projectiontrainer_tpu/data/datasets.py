@@ -40,6 +40,12 @@ class LockedTokenizer:
         with self._lock:
             return self._tok(*args, **kwargs)
 
+    def decode(self, *args, **kwargs):
+        # decode borrows the same Rust object; the serving path decodes on the device
+        # worker while handler threads encode
+        with self._lock:
+            return self._tok.decode(*args, **kwargs)
+
     def __getattr__(self, name):
         return getattr(self._tok, name)
 

@@ -89,14 +89,23 @@ def _post(server, payload: dict) -> dict:
 
 
 def test_health_and_single_request(service_and_server):
-    _, server, root = service_and_server
+    service, server, root = service_and_server
     with urllib.request.urlopen(_url(server, "/healthz"), timeout=30) as resp:
         health = json.loads(resp.read())
     assert health["ok"] and health["devices"]
 
+    service.warmup()  # compiles exactly the clamped bucket shapes the runtime uses
+
     out = _post(server, {"image_path": "cxr_0.jpg",
                          "question": "What disease is shown ?"})
     assert isinstance(out["answer"], str) and out["latency_ms"] > 0
+
+    # absolute server path bypasses --image_root resolution
+    import os
+
+    out = _post(server, {"image_path": os.path.join(root, "cxr_1.jpg"),
+                         "question": "And this one ?"})
+    assert isinstance(out["answer"], str)
 
 
 def test_concurrent_requests_micro_batch(service_and_server):
