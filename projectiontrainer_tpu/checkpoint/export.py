@@ -88,11 +88,18 @@ def _read_state_dict(path: str) -> dict[str, np.ndarray]:
 def save_stage2_checkpoint(
     out_dir: str, epoch: int, *, projector_params, projector_cfg,
     lora_params=None, llm_params=None, metadata: Optional[dict] = None,
+    lora_cfg=None, base_model_name: Optional[str] = None,
 ) -> str:
     """Write the reference's ``checkpoint-epoch_N/`` directory shape: projector under
     ``projection_layer/``, adapters or full LLM under ``language_model/``
-    (numpy safetensors — importable by our loaders; torch-format projector included for
-    reference-script compatibility)."""
+    (reference: Stage2/trainer.py:710-769 — PEFT ``save_pretrained`` or full model).
+
+    When ``lora_cfg`` is given the adapter is written in true HF-PEFT format
+    (``adapter_model.safetensors`` with PEFT key/shape conventions +
+    ``adapter_config.json``), so the directory is directly loadable by
+    ``PeftModel.from_pretrained`` — a GPU/PEFT user can consume a TPU-trained adapter
+    unchanged. Without it the legacy flat pytree layout is kept (still readable by
+    :func:`load_adapter`)."""
     ckpt_dir = os.path.join(out_dir, f"checkpoint-epoch_{epoch}")
     proj_dir = os.path.join(ckpt_dir, "projection_layer")
     save_projector(projector_params, projector_cfg, proj_dir, tag="best")
@@ -112,13 +119,129 @@ def save_stage2_checkpoint(
         }
 
     if lora_params is not None:
-        save_file(flatten(lora_params), os.path.join(lm_dir, "adapter_model.safetensors"))
+        if lora_cfg is not None:
+            save_peft_adapter(lora_params, lora_cfg, lm_dir,
+                              base_model_name_or_path=base_model_name)
+        else:
+            save_file(flatten(lora_params),
+                      os.path.join(lm_dir, "adapter_model.safetensors"))
     if llm_params is not None:
         save_file(flatten(llm_params), os.path.join(lm_dir, "model.safetensors"))
     if metadata is not None:
         with open(os.path.join(ckpt_dir, "metadata.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
     return ckpt_dir
+
+
+# ------------------------------------------------------------------ PEFT adapter interop
+
+# attention vs mlp module placement in HF decoder naming (model.layers.N.self_attn.*)
+_PEFT_ATTN_TARGETS = frozenset({"q_proj", "k_proj", "v_proj", "o_proj"})
+
+
+def _peft_key(layer: int, target: str, ab: str) -> str:
+    parent = "self_attn" if target in _PEFT_ATTN_TARGETS else "mlp"
+    return f"base_model.model.model.layers.{layer}.{parent}.{target}.lora_{ab}.weight"
+
+
+def save_peft_adapter(lora_params, lora_cfg, out_dir: str, *,
+                      base_model_name_or_path: Optional[str] = None) -> str:
+    """Export the pytree LoRA adapters as an HF-PEFT adapter directory.
+
+    The reference trains/saves adapters with PEFT (``LoraConfig`` at
+    Stage2/train_vqa_stage2.py:232-240, ``save_pretrained`` at Stage2/trainer.py:728)
+    and resumes them with ``PeftModel.from_pretrained`` (:219). This writes the same
+    on-disk contract: ``adapter_model.safetensors`` keyed
+    ``base_model.model.model.layers.N.{self_attn|mlp}.{target}.lora_{A,B}.weight``
+    with torch ``nn.Linear`` weight shapes (A: [r, in], B: [out, r] — the transposes
+    of this framework's (in, r)/(r, out) kernels) plus ``adapter_config.json``."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = {}
+    for i, layer in enumerate(lora_params["layers"]):
+        for target, p in layer.items():
+            a = np.ascontiguousarray(np.asarray(p["a"], dtype=np.float32).T)  # [r, in]
+            b = np.ascontiguousarray(np.asarray(p["b"], dtype=np.float32).T)  # [out, r]
+            sd[_peft_key(i, target, "A")] = a
+            sd[_peft_key(i, target, "B")] = b
+    save_file(sd, os.path.join(out_dir, "adapter_model.safetensors"))
+    config = {
+        "peft_type": "LORA",
+        "task_type": "CAUSAL_LM",
+        "r": int(lora_cfg.r),
+        "lora_alpha": int(lora_cfg.alpha),
+        "lora_dropout": float(lora_cfg.dropout),
+        "target_modules": sorted(lora_cfg.targets),
+        "bias": "none",
+        "fan_in_fan_out": False,
+        "inference_mode": True,
+        "base_model_name_or_path": base_model_name_or_path,
+    }
+    with open(os.path.join(out_dir, "adapter_config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    return out_dir
+
+
+def load_peft_adapter(adapter_dir: str):
+    """Read an HF-PEFT LoRA adapter directory into (lora_params pytree, LoraConfig).
+
+    Accepts adapters saved by PEFT itself (a reference Stage-2 run's
+    ``language_model/`` dir — Stage2/trainer.py:728) or by :func:`save_peft_adapter`.
+    Key-prefix tolerant: any ``…layers.N.{self_attn|mlp}.{target}.lora_{A,B}.weight``
+    matches regardless of the ``base_model.model…`` wrapper depth (PEFT nests one
+    more ``model.`` for *ForCausalLM bases than for bare decoders)."""
+    import re
+
+    from projectiontrainer_tpu.train.lora import LoraConfig
+
+    with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+        cfg_json = json.load(f)
+    sd = _read_state_dict(os.path.join(adapter_dir, "adapter_model.safetensors"))
+
+    pat = re.compile(
+        r"layers\.(\d+)\.(?:self_attn|mlp)\.([A-Za-z0-9_]+)\.lora_(A|B)\.weight$"
+    )
+    per_layer: dict[int, dict] = {}
+    for key, val in sd.items():
+        m = pat.search(key)
+        if m is None:
+            raise ValueError(f"unrecognized PEFT adapter key: {key}")
+        layer, target, ab = int(m.group(1)), m.group(2), m.group(3)
+        entry = per_layer.setdefault(layer, {}).setdefault(target, {})
+        # PEFT stores torch Linear weights: A [r, in], B [out, r] -> our (in, r)/(r, out)
+        entry["a" if ab == "A" else "b"] = np.ascontiguousarray(
+            np.asarray(val, np.float32).T
+        )
+    if not per_layer:
+        raise ValueError(f"no LoRA tensors found in {adapter_dir}")
+    n_layers = max(per_layer) + 1
+    layers = []
+    for i in range(n_layers):
+        layer = per_layer.get(i, {})
+        for target, entry in layer.items():
+            missing = {"a", "b"} - set(entry)
+            if missing:
+                raise ValueError(f"layer {i} target {target}: missing lora_{missing}")
+        layers.append(layer)
+    lcfg = LoraConfig(
+        r=int(cfg_json.get("r", 16)),
+        alpha=int(cfg_json.get("lora_alpha", 32)),
+        dropout=float(cfg_json.get("lora_dropout", 0.0)),
+        targets=tuple(sorted({t for l in layers for t in l})),
+    )
+    return {"layers": layers}, lcfg
+
+
+def load_adapter(adapter_dir: str):
+    """Load a LoRA adapter directory in either format: HF-PEFT
+    (``adapter_config.json`` present — a reference-trained adapter or a
+    :func:`save_peft_adapter` export) or this framework's legacy flat pytree
+    safetensors. Returns (lora_params, LoraConfig | None)."""
+    if os.path.exists(os.path.join(adapter_dir, "adapter_config.json")):
+        return load_peft_adapter(adapter_dir)
+    params = load_flat_safetensors(os.path.join(adapter_dir, "adapter_model.safetensors"))
+    return params, None
 
 
 def save_siglip_hf(params, cfg, out_dir: str, *, src_dir: Optional[str] = None) -> str:

@@ -83,16 +83,12 @@ def main(argv=None):
     )
     tokenizer = setup.load_tokenizer(args.llm_name)
     if args.adapter_path:
-        import os
+        from projectiontrainer_tpu.checkpoint.export import load_adapter
 
-        from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
-
-        lora = load_flat_safetensors(
-            os.path.join(args.adapter_path, "adapter_model.safetensors")
-        )
-        params["llm"] = lora_mod.merge_into_decoder(
-            params["llm"], lora, lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
-        )
+        lora, lcfg = load_adapter(args.adapter_path)
+        if lcfg is None:  # legacy flat format carries no config — use the flags
+            lcfg = lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        params["llm"] = lora_mod.merge_into_decoder(params["llm"], lora, lcfg)
 
     gen_cfg = GenerationConfig(
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,

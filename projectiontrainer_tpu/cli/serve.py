@@ -88,16 +88,13 @@ class VQAService:
         # encode concurrently while the device worker decodes
         self.tokenizer = LockedTokenizer(setup.load_tokenizer(args.llm_name))
         if args.adapter_path:
-            import os
+            from projectiontrainer_tpu.checkpoint.export import load_adapter
 
-            from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
-
-            lora = load_flat_safetensors(
-                os.path.join(args.adapter_path, "adapter_model.safetensors")
-            )
+            lora, lcfg = load_adapter(args.adapter_path)
+            if lcfg is None:  # legacy flat format carries no config — use the flags
+                lcfg = lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
             self.params["llm"] = lora_mod.merge_into_decoder(
-                self.params["llm"], lora,
-                lora_mod.LoraConfig(r=args.lora_r, alpha=args.lora_alpha),
+                self.params["llm"], lora, lcfg
             )
             logger.info("merged LoRA adapters from %s", args.adapter_path)
         self.gen_cfg = GenerationConfig(

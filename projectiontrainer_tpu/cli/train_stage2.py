@@ -30,11 +30,21 @@ def main(argv=None):
     tokenizer = setup.load_tokenizer(cfg.llm_name)
 
     if cfg.resume_qlora_adapter_path:
-        from projectiontrainer_tpu.checkpoint.export import load_flat_safetensors
+        # PEFT-format (a reference run's language_model/ dir or our own exports) or
+        # legacy flat pytree — reference resume: Stage2/train_vqa_stage2.py:219
+        from projectiontrainer_tpu.checkpoint.export import load_adapter
 
-        adapter = os.path.join(cfg.resume_qlora_adapter_path, "adapter_model.safetensors")
-        params["lora"] = load_flat_safetensors(adapter)
-        logger.info("resumed LoRA adapters from %s", adapter)
+        params["lora"], loaded_lcfg = load_adapter(cfg.resume_qlora_adapter_path)
+        if loaded_lcfg is not None and (
+            loaded_lcfg.r != cfg.lora_r or loaded_lcfg.alpha != cfg.lora_alpha
+        ):
+            logger.warning(
+                "adapter_config.json says r=%d alpha=%d but flags request r=%d "
+                "alpha=%d — the flags win (scaling alpha/r changes the effective "
+                "adapter magnitude)",
+                loaded_lcfg.r, loaded_lcfg.alpha, cfg.lora_r, cfg.lora_alpha,
+            )
+        logger.info("resumed LoRA adapters from %s", cfg.resume_qlora_adapter_path)
 
     mk = lambda path: datasets.Stage2VQADataset.from_json(
         path, image_root=cfg.image_root, tokenizer=tokenizer, image_size=cfg.img_size,

@@ -365,7 +365,8 @@ class Stage2Trainer:
         export.save_stage2_checkpoint(
             self.cfg.output_dir, epoch,
             projector_params=params["projector"], projector_cfg=self.vlm_cfg.projector,
-            lora_params=params.get("lora"),
+            lora_params=params.get("lora"), lora_cfg=self.lora_cfg,
+            base_model_name=self.cfg.llm_name or None,
             llm_params=params["llm"] if (self.base_policy.train_llm and not self.base_policy.use_lora) else None,
             metadata={"epoch": epoch, "config": self.cfg.to_json()},
         )

@@ -197,3 +197,136 @@ def test_tsne_epoch_sweep_over_exported_snapshots(tmp_path):
     ])
     assert len(outputs) == 3
     assert all(os.path.exists(o) for o in outputs)
+
+
+# ------------------------------------------------------------------ PEFT adapter interop
+
+
+def _random_lora(dec_cfg, lcfg, seed=5):
+    """LoRA pytree with non-zero B so the adapter delta is non-trivial."""
+    from projectiontrainer_tpu.train import lora as lora_mod
+
+    params = lora_mod.init(jax.random.key(seed), dec_cfg, lcfg)
+    return jax.tree.map(
+        lambda x: jax.random.normal(jax.random.key(seed + 1), x.shape) * 0.05, params
+    )
+
+
+def test_peft_adapter_roundtrip(tmp_path):
+    """save_peft_adapter -> load_peft_adapter reproduces the pytree and the config;
+    load_adapter auto-detects both the PEFT and the legacy flat format."""
+    from projectiontrainer_tpu import testing as T
+    from projectiontrainer_tpu.train import lora as lora_mod
+
+    dec_cfg = T.tiny_llm_cfg(layers=3)
+    lcfg = lora_mod.LoraConfig(r=4, alpha=8, dropout=0.1)
+    lora = _random_lora(dec_cfg, lcfg)
+
+    out = export.save_peft_adapter(
+        lora, lcfg, str(tmp_path / "peft"), base_model_name_or_path="tiny-llm"
+    )
+    with open(os.path.join(out, "adapter_config.json")) as f:
+        cfg_json = json.load(f)
+    assert cfg_json["peft_type"] == "LORA" and cfg_json["r"] == 4
+    assert cfg_json["lora_alpha"] == 8 and cfg_json["base_model_name_or_path"] == "tiny-llm"
+
+    # keys follow the PEFT *ForCausalLM convention (what PeftModel.from_pretrained maps)
+    from safetensors.numpy import load_file
+
+    sd = load_file(os.path.join(out, "adapter_model.safetensors"))
+    key = "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"
+    assert key in sd and sd[key].shape == (4, dec_cfg.hidden_size)
+
+    loaded, loaded_cfg = export.load_peft_adapter(out)
+    assert loaded_cfg.r == 4 and loaded_cfg.alpha == 8 and loaded_cfg.dropout == 0.1
+    assert set(loaded_cfg.targets) == set(lcfg.targets)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0),
+        lora, loaded,
+    )
+
+    # auto-detect: PEFT dir vs legacy flat dir
+    auto, auto_cfg = export.load_adapter(out)
+    assert auto_cfg is not None and auto_cfg.r == 4
+    legacy_ckpt = export.save_stage2_checkpoint(
+        str(tmp_path), 0,
+        projector_params=proj.init(jax.random.key(0), proj.ProjectorConfig(4, 6, 2)),
+        projector_cfg=proj.ProjectorConfig(4, 6, 2), lora_params=lora,
+    )
+    flat, flat_cfg = export.load_adapter(os.path.join(legacy_ckpt, "language_model"))
+    assert flat_cfg is None
+    np.testing.assert_allclose(
+        np.asarray(flat["layers"][0]["q_proj"]["a"]),
+        np.asarray(lora["layers"][0]["q_proj"]["a"]),
+    )
+
+
+def test_stage2_checkpoint_writes_peft_format(tmp_path):
+    """With lora_cfg provided, the checkpoint-epoch_N/language_model dir is a real
+    PEFT adapter directory (reference artifact: Stage2/trainer.py:728)."""
+    from projectiontrainer_tpu import testing as T
+    from projectiontrainer_tpu.train import lora as lora_mod
+
+    dec_cfg = T.tiny_llm_cfg(layers=2)
+    lcfg = lora_mod.LoraConfig(r=2, alpha=4)
+    lora = _random_lora(dec_cfg, lcfg)
+    pcfg = proj.ProjectorConfig(vision_dim=4, llm_dim=6, expansion_factor=2)
+    ckpt = export.save_stage2_checkpoint(
+        str(tmp_path), 2, projector_params=proj.init(jax.random.key(1), pcfg),
+        projector_cfg=pcfg, lora_params=lora, lora_cfg=lcfg, base_model_name="base-x",
+    )
+    lm_dir = os.path.join(ckpt, "language_model")
+    assert os.path.exists(os.path.join(lm_dir, "adapter_config.json"))
+    loaded, loaded_cfg = export.load_adapter(lm_dir)
+    assert loaded_cfg.r == 2 and loaded_cfg.alpha == 4
+    np.testing.assert_allclose(
+        np.asarray(loaded["layers"][1]["down_proj"]["b"]),
+        np.asarray(lora["layers"][1]["down_proj"]["b"]),
+    )
+
+
+@pytest.mark.slow
+def test_peft_adapter_hf_integration(tmp_path):
+    """A TPU-exported adapter loads through REAL PEFT (PeftModel.from_pretrained) onto
+    an HF Qwen3ForCausalLM and produces the same logits as our decoder + LoRA — the
+    contract a reference user relies on when moving adapters between stacks
+    (Stage2/train_vqa_stage2.py:219, Stage2/trainer.py:728)."""
+    import torch
+    from peft import PeftModel
+    from transformers import Qwen3Config
+    from transformers.models.qwen3.modeling_qwen3 import Qwen3ForCausalLM
+
+    from projectiontrainer_tpu.models import decoder as dec
+    from projectiontrainer_tpu.train import lora as lora_mod
+
+    hf_cfg = Qwen3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        rope_theta=10_000.0, max_position_embeddings=64, tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf_model = Qwen3ForCausalLM(hf_cfg).eval()
+
+    dcfg = dec.from_hf_config(hf_cfg)
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    params = dec.params_from_hf_state_dict(dcfg, sd)
+
+    lcfg = lora_mod.LoraConfig(r=4, alpha=8, dropout=0.0)
+    lora = _random_lora(dcfg, lcfg, seed=9)
+    adapter_dir = export.save_peft_adapter(lora, lcfg, str(tmp_path / "adapter"))
+
+    peft_model = PeftModel.from_pretrained(hf_model, adapter_dir).eval()
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, hf_cfg.vocab_size, size=(2, 9))
+    with torch.no_grad():
+        ref = peft_model(input_ids=torch.tensor(ids)).logits.numpy()
+
+    hidden, _ = dec.forward(
+        params, dcfg, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones_like(jnp.asarray(ids)),
+        lora=lora, lora_cfg=lcfg,
+    )
+    ours = np.asarray(dec.logits(params, dcfg, hidden))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
