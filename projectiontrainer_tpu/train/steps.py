@@ -197,11 +197,22 @@ def _resolve_ce_impl(ce_impl: str, table_frozen: bool,
 def _clm_loss_from_embeds(params, cfg: vlm.VLMConfig, embeds, mask, labels, *,
                           remat: bool, logits_chunk: Optional[int], lora=None,
                           lora_cfg=None, lora_rng=None, sample_weights=None,
-                          ce_impl: str = "chunked", mesh=None):
+                          ce_impl: str = "chunked", mesh=None, loss_prefix: int = 0):
+    """``loss_prefix``: number of LEADING positions whose labels are statically -100
+    (the visual prefix in stage 1, visual+question in stage 2). The lm-head + CE only
+    ever contribute from pairs (hidden[i], labels[i+1]) with i >= loss_prefix-1, so the
+    decoder output is cropped to that suffix before the head — exactly equal loss and
+    gradients (dropped labels are all ignored; n_tok counts only labels[1:] != -100)
+    at roughly half the lm-head/CE FLOPs for the reference shapes (575 visual + 512
+    caption / 831 prefix + 1024 answer). The reference pays the full-sequence head
+    (Stage2/trainer.py:400-418 runs the LLM fwd + fp32 CE over every position)."""
     hidden, _ = dec.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds, attention_mask=mask,
         remat=remat, lora=lora, lora_cfg=lora_cfg, lora_rng=lora_rng,
     )
+    if loss_prefix > 1:
+        hidden = hidden[:, loss_prefix - 1:]
+        labels = labels[:, loss_prefix - 1:]
     if logits_chunk and ce_impl == "fused":
         table = dec.lm_head_table(params["llm"], cfg.llm)
         return losses.fused_shifted_clm_loss(
@@ -248,6 +259,7 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
             params, cfg, embeds, mask, labels, remat=remat, logits_chunk=logits_chunk,
             sample_weights=batch.get("sample_weight"), ce_impl=impl,
             mesh=mesh if impl == "fused" else None,
+            loss_prefix=visual.shape[1],  # visual labels are statically -100
         )
         return loss, {"tokens": n_tok}
 
@@ -300,6 +312,10 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
             lora=lora, lora_cfg=lora_cfg, lora_rng=lora_rng,
             sample_weights=batch.get("sample_weight"),
             ce_impl=impl, mesh=mesh if impl == "fused" else None,
+            # visual AND question labels are statically -100 (answer-only supervision,
+            # build_sequence supervised=False for questions) — crop the head to the
+            # answer region
+            loss_prefix=visual.shape[1] + batch["question_ids"].shape[1],
         )
         return loss, {"tokens": n_tok}
 
