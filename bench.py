@@ -356,22 +356,28 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
         pool = feeder.ProcessPixelPool(image_size=out_size, num_workers=workers,
                                        slots_per_worker=8)
         try:
+            stream = pool.new_stream()
+
             def poll_or_die():
-                r = pool.poll(timeout=120)
+                r = pool.poll(stream, timeout=120)
                 if r is None:
                     raise RuntimeError("feeder worker stalled: no result in 120s")
                 return r
 
             # warm up worker imports
             for i in range(workers):
-                pool.submit(i, paths[0], 0)
+                assert pool.try_submit(stream, i, paths[0], 0) is not None
             for _ in range(workers):
                 pool.release(poll_or_die()[1])
             inflight, submitted, got = 0, 0, 0
             t0 = time.perf_counter()
             while got < n:
                 while submitted < n and inflight < pool.n_slots - 1:
-                    pool.submit(submitted, paths[submitted % len(paths)], submitted)
+                    slot = pool.try_submit(
+                        stream, submitted, paths[submitted % len(paths)], submitted
+                    )
+                    if slot is None:
+                        break
                     submitted += 1
                     inflight += 1
                 pool.release(poll_or_die()[1])

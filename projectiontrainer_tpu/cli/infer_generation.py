@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import collections
 import json
+import sys
 
 from projectiontrainer_tpu.cli.infer_vqa_stage2 import answer_batch, build_parser as _vqa_parser
 from projectiontrainer_tpu.data import datasets
@@ -71,8 +72,12 @@ def display_summary(results, logger, candidate_labels=()):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.max_length is not None:
+        if any(str(a).startswith("--max_new_tokens") for a in (argv or sys.argv[1:])):
+            parser.error("--max_length is an alias for --max_new_tokens; pass one, "
+                         "not both")
         args.max_new_tokens = args.max_length
     candidate_labels = [
         c.strip() for c in (args.candidate_labels or "").split(",") if c.strip()

@@ -45,6 +45,9 @@ def build_parser():
     p.description = __doc__
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--request_timeout_s", type=float, default=900.0,
+                   help="per-request wait bound; must exceed a cold XLA compile "
+                        "(minutes on TPU) unless --warmup pre-compiled the shapes")
     p.add_argument("--max_wait_ms", type=float, default=20.0,
                    help="How long the batcher waits for a batch to fill")
     p.add_argument("--warmup", action="store_true",
@@ -53,7 +56,8 @@ def build_parser():
 
 
 class _Request:
-    __slots__ = ("pixels", "q_ids", "event", "answer", "error", "t_enqueue")
+    __slots__ = ("pixels", "q_ids", "event", "answer", "error", "t_enqueue",
+                 "abandoned")
 
     def __init__(self, pixels, q_ids):
         self.pixels = pixels          # [H, W, C] float32, preprocessed
@@ -62,6 +66,7 @@ class _Request:
         self.answer = None
         self.error = None
         self.t_enqueue = time.perf_counter()
+        self.abandoned = False        # waiter timed out; don't burn device time
 
 
 class VQAService:
@@ -115,7 +120,6 @@ class VQAService:
         self.latencies = deque(maxlen=65536)
         self.batch_sizes = deque(maxlen=8192)
         self._lock = threading.Lock()
-        self._jnp = jnp
         self._stop = threading.Event()
         self.worker = threading.Thread(target=self._worker, daemon=True)
         self.worker.start()
@@ -152,9 +156,12 @@ class VQAService:
         )["input_ids"]
         return _Request(pixels, q_ids)
 
-    def submit(self, req: _Request, timeout_s: float = 300.0) -> str:
+    def submit(self, req: _Request, timeout_s: float | None = None) -> str:
+        if timeout_s is None:
+            timeout_s = self.args.request_timeout_s
         self.queue.put(req)
         if not req.event.wait(timeout_s):
+            req.abandoned = True  # worker skips it instead of computing for nobody
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -163,9 +170,12 @@ class VQAService:
     # ---------------------------------------------------------------- device worker
 
     def _drain_batch(self) -> list[_Request]:
-        first = self.queue.get()
-        if first is None:  # shutdown sentinel
-            return []
+        while True:
+            first = self.queue.get()
+            if first is None:  # shutdown sentinel
+                return []
+            if not first.abandoned:
+                break
         batch = [first]
         deadline = time.perf_counter() + self.args.max_wait_ms / 1e3
         while len(batch) < self.args.batch_size:
@@ -179,7 +189,8 @@ class VQAService:
             if nxt is None:
                 self.queue.put(None)  # re-post for the outer loop to see
                 break
-            batch.append(nxt)
+            if not nxt.abandoned:
+                batch.append(nxt)
         return batch
 
     def _run_batch(self, batch: list[_Request]) -> list[str]:

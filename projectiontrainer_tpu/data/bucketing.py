@@ -38,7 +38,14 @@ def buckets_covering(max_len: int, buckets: Sequence[int]) -> tuple[int, ...]:
     or the prompt tokens adjacent to the answer)."""
     if max_len <= buckets[-1]:
         return tuple(buckets)
-    return tuple(buckets) + (int(max_len),)
+    # extend by doubling so over-the-top lengths keep the grid's ~2x padding bound:
+    # jumping straight to max_len would pad every sequence just past the old top
+    # bucket all the way to max_len (e.g. 257 -> 2048, ~8x wasted attention/CE work)
+    out = list(buckets)
+    while out[-1] * 2 < max_len:
+        out.append(out[-1] * 2)
+    out.append(int(max_len))
+    return tuple(out)
 
 
 def pad_to(ids: np.ndarray, size: int, pad_id: int, *, side: str = "right") -> np.ndarray:

@@ -296,15 +296,22 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
     inflight: dict[int, int] = {}          # ticket -> slot
     done: dict[int, tuple] = {}            # ticket -> (pixels | None)
     local: dict[int, bool] = {}            # tickets resolved without the pool
+    pending_job: Optional[tuple] = None    # job drawn but not yet submitted
     next_submit = 0
     next_yield = 0
     n = len(indices)
 
     def _submit_more():
-        nonlocal next_submit
+        # pixel_job may consume dataset RNG (the per-sample augmentation seed), so it
+        # must be called exactly once per ticket: cache the drawn job across failed
+        # try_submit attempts or retries would shift the whole downstream seed stream
+        # depending on slot-availability timing (nondeterministic training data)
+        nonlocal next_submit, pending_job
         while next_submit < n and len(inflight) < max_inflight:
             idx = indices[next_submit]
-            path, aug_seed = dataset.pixel_job(idx)
+            if pending_job is None:
+                pending_job = dataset.pixel_job(idx)
+            path, aug_seed = pending_job
             if path is None:
                 local[next_submit] = True
             else:
@@ -312,6 +319,7 @@ def map_samples_processes(dataset, indices, pool: ProcessPixelPool,
                 if slot is None:
                     return  # no free slot right now — retry after the next poll
                 inflight[next_submit] = slot
+            pending_job = None
             next_submit += 1
 
     try:

@@ -365,7 +365,12 @@ def stage0_loss(cfg: siglip.SiglipConfig, *, remat: bool = True,
                 lambda i, t, sw: losses.siglip_pairwise_loss(
                     i, t, scale[0], bias[0], sample_weight=sw)
             )(img_s, txt_s, w_s)
-            loss = shard_losses.mean()
+            # fillers sit at the batch tail, so a straggler batch can leave whole
+            # shards with zero real rows (loss 0); average only over shards that
+            # have real rows or the step's loss/grads deflate by the empty count
+            nonempty = (w_s.sum(axis=1) > 0).astype(shard_losses.dtype)
+            loss = ((shard_losses * nonempty).sum()
+                    / jnp.maximum(nonempty.sum(), 1.0))
         else:
             loss = losses.siglip_pairwise_loss(img, txt, scale[0], bias[0],
                                                sample_weight=w)

@@ -160,3 +160,47 @@ def test_live_stale_generator_stops_instead_of_stealing(contrastive_ds, pool):
     while len(pool._free) < pool.n_slots and time.monotonic() < deadline:
         pool.poll(s3, timeout=0.5)
     assert len(pool._free) == pool.n_slots
+
+
+def test_slot_pressure_does_not_shift_aug_seeds(tmp_path):
+    """pixel_job consumes dataset RNG; a failed try_submit (no free slot) must NOT
+    re-draw it. With max_inflight=1 the submit loop hits the no-slot path constantly —
+    the seed assigned to each index must match a sequential draw from a fresh
+    dataset regardless (regression: retries used to shift the whole seed stream)."""
+    root = tmp_path
+    for i in range(6):
+        write_jpeg(root / f"img{i}.jpg", size=40, seed=i)
+    manifest = root / "m.json"
+    manifest.write_text(json.dumps(
+        [{"image": f"img{i}.jpg", "normal_caption": "c"} for i in range(6)]
+    ))
+    tok = make_word_tokenizer(["c"])
+    mk = lambda: datasets.ContrastiveDataset.from_json(
+        str(manifest), image_root=str(root), tokenizer=tok, image_size=24,
+        augment=True, seed=11,
+    )
+    expected = mk()
+    expected_jobs = [expected.pixel_job(i) for i in range(6)]
+
+    seen = []
+    ds = mk()
+    orig = ds.pixel_job
+
+    def spy(idx):
+        job = orig(idx)
+        seen.append((idx, job))
+        return job
+
+    ds.pixel_job = spy
+    # ONE shared slot but max_inflight=3: the submit loop draws a job, fails
+    # try_submit (slot busy), and must retry WITHOUT a fresh draw
+    p = feeder.ProcessPixelPool(image_size=24, num_workers=1, slots_per_worker=1)
+    try:
+        got = list(feeder.map_samples_processes(ds, range(6), p, max_inflight=3))
+    finally:
+        p.close()
+    assert len(got) == 6
+    # exactly one rng draw per index, in order, matching the sequential stream
+    draws = [s for s in seen]
+    assert [s[0] for s in draws] == list(range(6))
+    assert [s[1] for s in draws] == expected_jobs
