@@ -81,16 +81,56 @@ def _mfu(flops_per_step: float, step_seconds: float, n_chips: int) -> float:
     return flops_per_step / step_seconds / (n_chips * _peak_flops_per_chip())
 
 
-def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100):
-    """Chained timing over ``windows`` repeats of ``steps_n`` steps; returns
+def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100,
+                   dispatch="loop"):
+    """Timing over ``windows`` repeats of ``steps_n`` steps; returns
     ``(best_elapsed, state, loss, per_window_step_ms)``.
 
-    Best-of-windows guards against episodic slowdowns of the shared tunneled chip
-    (identical stage-1 programs measured 299 ms vs 393 ms per step minutes apart);
-    the min window is the code's speed, the other windows are interference. Each
-    window keeps the chained-dispatch methodology (steps consume the donated state;
-    one host readback of the loss syncs the window)."""
+    ``dispatch='loop'`` (default): per-dispatch chained loop — steps consume the
+    donated state; one host readback of the loss syncs the window. This is how the
+    trainers drive the chip.
+
+    ``dispatch='scan'``: each window is ONE dispatch of a jitted ``lax.scan`` over
+    ``steps_n`` steps. Built to test whether the chip's bimodal step times (identical
+    programs measured 299 vs 393 ms/step minutes apart) were tunnel per-dispatch
+    latency — they are NOT: scan and loop agree to 0.3 ms in both states, so the
+    variance is external execution speed (another tenant / clocks) and
+    best-of-windows is the only defense. Kept as a diagnostic. The batch is rolled
+    along axis 0 by the iteration index inside the body: without that, the frozen
+    towers' forward on a constant batch is loop-invariant and XLA's LICM could hoist
+    it out of the scan, overstating throughput (without the roll the scan measures
+    ~19 ms/step fast — exactly the hoisted frozen-vision forward). Falls back to the
+    loop when the step doesn't expose ``__wrapped__``.
+
+    Best-of-windows guards against episodic chip slowdowns either way."""
+    import functools
+
     import jax
+    import jax.numpy as jnp
+
+    inner = getattr(step, "__wrapped__", None)
+    if dispatch == "scan" and inner is not None:
+        key = jax.random.key(key_base)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi(st, batch):
+            def body(st, i):
+                b = jax.tree_util.tree_map(lambda x: jnp.roll(x, i, axis=0), batch)
+                st, loss, _ = inner(st, b, jax.random.fold_in(key, i))
+                return st, loss
+
+            st, ls = jax.lax.scan(body, st, jnp.arange(steps_n))
+            return st, ls[-1]
+
+        state, loss = multi(state, batch_data)  # compile + uncounted warm window
+        float(loss)
+        times = []
+        for _ in range(max(1, windows)):
+            t0 = time.perf_counter()
+            state, loss = multi(state, batch_data)
+            float(loss)
+            times.append(time.perf_counter() - t0)
+        return min(times), state, loss, [t / steps_n * 1e3 for t in times]
 
     times, loss, k = [], None, key_base
     for _ in range(max(1, windows)):
@@ -413,7 +453,8 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
     }
 
 
-def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int = 3):
+def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int = 3,
+                dispatch: str = "loop"):
     """Stage-0 SigLIP contrastive fine-tune throughput at the reference's production
     config: google/siglip2-so400m-patch16-512 shape (27 layers, hidden 1152, 512px ->
     1024 patches), per-device batch 16, text tower + logit_scale frozen, bf16 compute
@@ -471,7 +512,7 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
         state, loss, _ = step(state, batch_data, jax.random.key(i))
     float(loss)
     elapsed, state, loss, window_ms = _timed_windows(
-        step, state, batch_data, steps_n, windows=windows
+        step, state, batch_data, steps_n, windows=windows, dispatch=dispatch
     )
     step_s = elapsed / steps_n
     n_chips = len(jax.devices())
@@ -619,7 +660,7 @@ def _init_full_params(cfg, *, quantize=False, quant_method="int8"):
 
 def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
                 quant_method: str = "int8", lora_dropout: float | None = None,
-                windows: int = 3):
+                windows: int = 3, dispatch: str = "loop"):
     """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
     import time
 
@@ -662,7 +703,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
         state, loss, aux = step(state, batch_data, jax.random.key(i))
     float(loss)
     elapsed, state, loss, window_ms = _timed_windows(
-        step, state, batch_data, steps_n, windows=windows
+        step, state, batch_data, steps_n, windows=windows, dispatch=dispatch
     )
     total_tokens = steps_n * batch * (575 + 256 + 1024)
     mfu = _mfu(flops, elapsed / steps_n, jax.device_count())
@@ -787,6 +828,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--dispatch", choices=["loop", "scan"], default="loop",
+                        help="loop: per-step dispatch (how the trainers drive the "
+                             "chip). scan: one lax.scan dispatch per window — a "
+                             "diagnostic that proved the chip's bimodal step times "
+                             "are external, not dispatch latency")
     parser.add_argument("--windows", type=int, default=3,
                         help="repeat the timed loop this many times and report the "
                              "best window (the shared tunneled chip has episodic "
@@ -835,7 +881,7 @@ def main(argv=None):
             remat0 = _parse_remat(args.remat, default=False, allow_int=True)
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0,
-                                 windows=args.windows)
+                                 windows=args.windows, dispatch=args.dispatch)
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps, out_size=args.img_size)
         elif args.mode == "gen":
@@ -850,7 +896,7 @@ def main(argv=None):
             result = _run_stage2(batch, args.steps, args.warmup, model=model,
                                  quant_method=args.quant or "int8",
                                  lora_dropout=args.lora_dropout,
-                                 windows=args.windows)
+                                 windows=args.windows, dispatch=args.dispatch)
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))
@@ -879,7 +925,8 @@ def main(argv=None):
     float(loss)
 
     elapsed, state, loss, window_ms = _timed_windows(
-        step, state, batch_data, args.steps, windows=args.windows
+        step, state, batch_data, args.steps, windows=args.windows,
+        dispatch=args.dispatch,
     )
 
     n_chips = jax.device_count()
