@@ -29,6 +29,37 @@ def _free_port():
     return port
 
 
+def test_four_process_ragged_gather_and_best_save(tmp_path):
+    """4 hosts x 1 device with per-host eval counts 3/5/7/9 through gather_ragged +
+    gather_objects + the collective best-save path (VERDICT r2 next #8; reference
+    padded-gather semantics: Stage0/train_vision_encoder_stage0.py:362-411)."""
+    workdir = str(tmp_path)
+    coordinator = f"127.0.0.1:{_free_port()}"
+    worker = os.path.join(os.path.dirname(__file__), "multihost_ragged_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs, outs = [], []
+    for pid in range(4):
+        out_json = os.path.join(workdir, f"ragged_{pid}.json")
+        outs.append(out_json)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), coordinator, out_json, workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        ))
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+    results = [json.load(open(o)) for o in outs]
+    for r in results:
+        assert r["gathered_rows"] == 24
+        assert r["saved_first"] is True and r["saved_worse"] is False
+    # the gathered metric is identical on every host (global array semantics)
+    assert len({r["metric"] for r in results}) == 1
+
+
 def test_two_process_stage1_epoch(tmp_path):
     workdir = str(tmp_path)
     T.synthetic_corpus(workdir, n=10, image_size=32)
