@@ -562,20 +562,18 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
     }
 
 
-def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int = 3,
-                dispatch: str = "loop", spacing: float = 0.0):
-    """Stage-0 SigLIP contrastive fine-tune throughput at the reference's production
-    config: google/siglip2-so400m-patch16-512 shape (27 layers, hidden 1152, 512px ->
-    1024 patches), per-device batch 16, text tower + logit_scale frozen, bf16 compute
-    with fp32 vision masters (Stage0/run_train_vision_encoder_stage0.sh:13-48)."""
+def _build_stage0(batch: int, remat=False):
+    """Stage-0 setup at the reference's production config: so400m-patch16-512 shape
+    (27 layers, hidden 1152, 512px -> 1024 patches), text tower + logit_scale frozen,
+    bf16 compute with fp32 vision masters. Returns (cfg, step, state, batch_data)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from projectiontrainer_tpu.models import siglip
     from projectiontrainer_tpu.train import masks, optim, steps
-
-    import dataclasses
 
     attn = "flash" if jax.default_backend() == "tpu" else "xla"
     cfg = siglip.SiglipConfig(
@@ -616,6 +614,16 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
             nprng.integers(1, cfg.text.vocab_size, size=(batch, 64))
         ),
     }
+    return cfg, step, state, batch_data
+
+
+def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int = 3,
+                dispatch: str = "loop", spacing: float = 0.0):
+    """Stage-0 SigLIP contrastive fine-tune throughput at the reference's production
+    config (Stage0/run_train_vision_encoder_stage0.sh:13-48), per-device batch 16."""
+    import jax
+
+    cfg, step, state, batch_data = _build_stage0(batch, remat=remat)
     flops = _step_flops(step, state, batch_data, jax.random.key(0))
     for i in range(warmup):
         state, loss, _ = step(state, batch_data, jax.random.key(i))
@@ -636,6 +644,93 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
                   f"mfu={mfu:.1%} loss={float(loss):.4f} remat={remat} "
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"(frozen text tower, bf16 compute / fp32 vision masters)"),
+    }
+
+
+def _run_stage0_breakdown(batch: int, steps_n: int):
+    """Time-attribution for the stage-0 step (VERDICT r2 weak #2: 49% MFU, no
+    committed breakdown): times the full train step against its pieces — vision fwd,
+    text fwd, loss fwd, fwd+bwd without the update, and the optimizer update by
+    difference — each with XLA's own FLOP estimate, so per-part MFU localizes where
+    the non-MXU time goes."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from projectiontrainer_tpu.core import dtypes
+    from projectiontrainer_tpu.models import siglip
+    from projectiontrainer_tpu.train import steps as steps_mod
+
+    cfg, step, state, batch_data = _build_stage0(batch)
+    loss_fn = steps_mod.stage0_loss(cfg, remat=False, compute_dtype=jnp.bfloat16)
+
+    def timed(fn, *args, n=steps_n):
+        """(ms_per_call, flops): one readback sync per n calls (the tunneled
+        runtime's block_until_ready returns early; a scalar float() doesn't)."""
+        flops = _step_flops(fn, *args)
+
+        def sync(o):
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            float(jnp.sum(leaf.astype(jnp.float32)))
+
+        out = fn(*args)  # compile + warm
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        sync(out)
+        return (time.perf_counter() - t0) / n * 1e3, flops
+
+    results = {}
+    peak = _peak_flops_per_chip()
+
+    params_bf16 = jax.jit(
+        functools.partial(dtypes.cast_compute_params, compute_dtype=jnp.bfloat16)
+    )(state["params"])
+
+    vision_fwd = jax.jit(lambda p, px: siglip.vision_forward(p["vision"], cfg.vision,
+                                                             px))
+    results["vision_fwd"] = timed(vision_fwd, params_bf16,
+                                  batch_data["pixel_values"])
+
+    text_fwd = jax.jit(lambda p, ids: siglip.text_forward(p["text"], cfg.text, ids))
+    results["text_fwd"] = timed(text_fwd, params_bf16, batch_data["input_ids"])
+
+    loss_fwd = jax.jit(lambda p, b: loss_fn(p, b, None)[0])
+    results["loss_fwd"] = timed(loss_fwd, state["params"], batch_data)
+
+    grad_only = jax.jit(lambda p, b: jax.value_and_grad(
+        lambda pp: loss_fn(pp, b, None)[0])(p))
+    results["fwd_bwd"] = timed(grad_only, state["params"], batch_data)
+
+    # the full step (loss + grads + masked AdamW update + cast bookkeeping)
+    flops_full = _step_flops(step, state, batch_data, jax.random.key(0))
+    state2, loss, _ = step(state, batch_data, jax.random.key(0))
+    float(loss)
+    t0 = time.perf_counter()
+    st = state2
+    for i in range(steps_n):
+        st, loss, _ = step(st, batch_data, jax.random.key(i + 1))
+    float(loss)
+    full_ms = (time.perf_counter() - t0) / steps_n * 1e3
+    results["full_step"] = (full_ms, flops_full)
+
+    lines = {}
+    for name, (ms, flops) in results.items():
+        mfu = flops / (ms / 1e3) / peak if ms else 0.0
+        lines[name] = {"ms": round(ms, 1), "gflop": round(flops / 1e9, 1),
+                       "mfu": round(mfu, 3)}
+    lines["optimizer_and_cast_by_difference_ms"] = round(
+        results["full_step"][0] - results["fwd_bwd"][0], 1)
+    lines["bwd_by_difference_ms"] = round(
+        results["fwd_bwd"][0] - results["loss_fwd"][0], 1)
+    return {
+        "metric": "stage0_step_breakdown",
+        "value": lines["full_step"]["ms"],
+        "unit": "ms/step (batch %d), parts in extra" % batch,
+        "mfu": lines["full_step"]["mfu"],
+        "extra": f"breakdown={json.dumps(lines)}",
     }
 
 
@@ -847,6 +942,140 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     }
 
 
+def _run_stage2_breakdown(batch: int, steps_n: int, model: str = "qwen3-8b",
+                          quant_method: str = "int8"):
+    """Time-attribution for the stage-2 QLoRA step (VERDICT r2 weak #3: 8B at 54%
+    MFU with no committed breakdown): vision+projector, decoder fwd, cropped CE,
+    full fwd, fwd+bwd, and the full step — each with XLA's FLOP estimate so per-part
+    MFU shows where the non-MXU time goes (attention vs dequant vs CE vs update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.models import decoder as dec
+    from projectiontrainer_tpu.models import vlm
+    from projectiontrainer_tpu.train import losses, lora as lora_mod, masks, optim, steps
+
+    cfg = _full_vlm_cfg(model)
+    lcfg = lora_mod.LoraConfig(r=16, alpha=32)
+    params = _init_full_params(cfg, quantize=True, quant_method=quant_method)
+    params["lora"] = lora_mod.init(jax.random.key(1), cfg.llm, lcfg)
+    labels = masks.stage2_labels(
+        params, masks.Stage2Freeze(train_llm=False, use_lora=True, train_projector=False)
+    )
+    tx, _ = optim.single_group_optimizer(
+        labels, 1e-5, total_steps=1000, clip_norm=1.0, clip_per_module=True
+    )
+    loss_fn = steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=True, logits_chunk=256,
+                                compute_dtype=jnp.bfloat16)
+    step = steps.make_train_step(
+        loss_fn, tx, donate=True, trainable_mask=masks.bool_mask(labels)
+    )
+    state = steps.init_state(params, tx)
+
+    nprng = np.random.default_rng(0)
+    image = cfg.vision.image_size
+    vocab = cfg.llm.vocab_size
+    q_len, a_len, v_len = 256, 1024, 575
+    batch_data = {
+        "pixel_values": jnp.asarray(
+            nprng.normal(size=(batch, image, image, 3)), dtype=jnp.bfloat16
+        ),
+        "question_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, q_len))),
+        "answer_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, a_len))),
+    }
+
+    def timed(fn, *args, n=steps_n):
+        flops = _step_flops(fn, *args)
+
+        def sync(o):
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            float(jnp.sum(leaf.astype(jnp.float32)))
+
+        out = fn(*args)
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        sync(out)
+        return (time.perf_counter() - t0) / n * 1e3, flops
+
+    results = {}
+    # 1. vision tower + projector
+    vp = jax.jit(lambda p, px: vlm.visual_embeds(p, cfg, px))
+    results["vision_projector_fwd"] = timed(vp, params, batch_data["pixel_values"])
+
+    # 2. decoder forward over the full [visual; q; a] sequence (LoRA active, no
+    #    dropout in this isolated timing)
+    seq_len = v_len + q_len + a_len
+    embeds = jnp.asarray(nprng.normal(size=(batch, seq_len, cfg.llm.hidden_size)) * 0.02,
+                         jnp.bfloat16)
+    mask = jnp.ones((batch, seq_len), jnp.int32)
+    dfwd = jax.jit(lambda p, e, m: dec.forward(
+        p["llm"], cfg.llm, inputs_embeds=e, attention_mask=m, remat=False,
+        lora=p["lora"], lora_cfg=lcfg)[0])
+    results["decoder_fwd"] = timed(dfwd, params, embeds, mask)
+
+    # 3. cropped lm-head + CE alone (the suffix-crop path the step takes): hidden
+    #    positions >= loss_prefix-1, fused kernel on TPU
+    labels_np = np.asarray(nprng.integers(1, vocab, size=(batch, seq_len)))
+    labels_np[:, : v_len + q_len] = -100
+    labels_arr = jnp.asarray(labels_np)[:, v_len + q_len - 1:]
+    hidden_suffix = embeds[:, v_len + q_len - 1:]
+    impl = "fused" if jax.default_backend() == "tpu" else "chunked"
+
+    def ce_only(p, h, l):
+        table = dec.lm_head_table(p["llm"], cfg.llm)
+        if impl == "fused":
+            return losses.fused_shifted_clm_loss(h, table, l)[0]
+        return losses.chunked_shifted_clm_loss(h, table, l, chunk_size=256)[0]
+
+    results["ce_cropped_fwd"] = timed(jax.jit(ce_only), params, hidden_suffix,
+                                      labels_arr)
+
+    # 4-6. full loss fwd / fwd+bwd / full step (dropout active, as trained)
+    loss_fwd = jax.jit(lambda p, b, k: loss_fn(p, b, k)[0])
+    results["loss_fwd"] = timed(loss_fwd, params, batch_data, jax.random.key(9))
+
+    trainable = masks.bool_mask(labels)
+
+    def grad_fn(p, b, k):
+        def f(lora):
+            return loss_fn(dict(p, lora=lora), b, k)[0]
+        return jax.value_and_grad(f)(p["lora"])
+
+    results["fwd_bwd"] = timed(jax.jit(grad_fn), params, batch_data,
+                               jax.random.key(9))
+
+    flops_full = _step_flops(step, state, batch_data, jax.random.key(0))
+    st, loss, _ = step(state, batch_data, jax.random.key(0))
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(steps_n):
+        st, loss, _ = step(st, batch_data, jax.random.key(i + 1))
+    float(loss)
+    results["full_step"] = ((time.perf_counter() - t0) / steps_n * 1e3, flops_full)
+
+    peak = _peak_flops_per_chip()
+    lines = {}
+    for name, (ms, flops) in results.items():
+        mfu = flops / (ms / 1e3) / peak if ms else 0.0
+        lines[name] = {"ms": round(ms, 1), "gflop": round(flops / 1e9, 1),
+                       "mfu": round(mfu, 3)}
+    lines["bwd_by_difference_ms"] = round(
+        results["fwd_bwd"][0] - results["loss_fwd"][0], 1)
+    lines["optimizer_and_dispatch_by_difference_ms"] = round(
+        results["full_step"][0] - results["fwd_bwd"][0], 1)
+    del trainable
+    return {
+        "metric": f"stage2_step_breakdown_{model}_{quant_method}",
+        "value": lines["full_step"]["ms"],
+        "unit": "ms/step (batch %d, q256/a1024), parts in extra" % batch,
+        "mfu": lines["full_step"]["mfu"],
+        "extra": f"breakdown={json.dumps(lines)}",
+    }
+
+
 def _run_gen(batch: int, steps_n: int, warmup: int, max_new: int = 1024,
              approx_topk: bool = False,
              beams: int = 3, q_len: int = 256, naive_reorder: bool = False,
@@ -935,7 +1164,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--mode", default="stage1",
-        choices=["stage0", "stage1", "stage1-tiny", "stage1-8b", "stage2", "stage2-8b",
+        choices=["stage0", "stage0-breakdown", "stage1", "stage1-tiny", "stage1-8b",
+                 "stage2", "stage2-8b", "stage2-breakdown",
                  "gen", "flash-check", "ce-check", "pipeline"],
     )
     parser.add_argument("--batch", type=int, default=8)
@@ -997,12 +1227,19 @@ def main(argv=None):
     if args.window_spacing is None:
         args.window_spacing = 25.0 if record_mode else 0.0
 
-    if args.mode in ("stage0", "stage2", "stage2-8b", "gen", "flash-check", "ce-check",
-                     "pipeline"):
+    if args.mode in ("stage0", "stage0-breakdown", "stage2", "stage2-8b", "gen",
+                     "flash-check", "ce-check", "pipeline"):
         if args.mode == "flash-check":
             result = _run_flash_check()
         elif args.mode == "ce-check":
             result = _run_ce_check()
+        elif args.mode == "stage0-breakdown":
+            result = _run_stage0_breakdown(16 if args.batch == 8 else args.batch,
+                                           args.steps)
+        elif args.mode == "stage2-breakdown":
+            result = _run_stage2_breakdown(
+                min(args.batch, 2), args.steps, model="qwen3-8b",
+                quant_method=args.quant or "int8")
         elif args.mode == "stage0":
             # the global --batch default (8) is stage-1's; stage-0's reference
             # per-device batch is 16. --remat full/dots enables vision-tower remat
