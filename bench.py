@@ -697,12 +697,27 @@ def _run_stage0_breakdown(batch: int, steps_n: int):
     text_fwd = jax.jit(lambda p, ids: siglip.text_forward(p["text"], cfg.text, ids))
     results["text_fwd"] = timed(text_fwd, params_bf16, batch_data["input_ids"])
 
+    # free the bf16 params copy (~1.3 GB) and the tower executables before the
+    # heavy fwd+bwd timing — batch-16 stage-0 runs close to HBM capacity
+    import gc
+
+    del params_bf16, vision_fwd, text_fwd
+    gc.collect()
+
     loss_fwd = jax.jit(lambda p, b: loss_fn(p, b, None)[0])
     results["loss_fwd"] = timed(loss_fwd, state["params"], batch_data)
+    del loss_fwd
+    gc.collect()
 
-    grad_only = jax.jit(lambda p, b: jax.value_and_grad(
-        lambda pp: loss_fn(pp, b, None)[0])(p))
-    results["fwd_bwd"] = timed(grad_only, state["params"], batch_data)
+    def grad_only(p, b):
+        # vision-only grads, like the real step (text tower + logit_scale frozen
+        # via stop_gradient -> XLA prunes their dW); differentiating the full tree
+        # would add ~3 GB of dead text-tower grads and OOM the chip
+        def f(vision):
+            return loss_fn(dict(p, vision=vision), b, None)[0]
+        return jax.value_and_grad(f)(p["vision"])
+
+    results["fwd_bwd"] = timed(jax.jit(grad_only), state["params"], batch_data)
 
     # the full step (loss + grads + masked AdamW update + cast bookkeeping)
     flops_full = _step_flops(step, state, batch_data, jax.random.key(0))
@@ -1333,12 +1348,15 @@ def main(argv=None):
     }
     if calib:
         line["methodology"] = (
-            "best of %d windows spread over ~%.0fs (sleep schedule %s) to straddle "
-            "the chip's 1.32x bimodal execution episodes (BENCH_EXTRA_r04; back-to-"
-            "back windows can all land in one episode, as in r02); per-window step "
+            "best of %d windows spread over ~%.0fs (sleep schedule %s) to improve the "
+            "odds of catching the chip's fast execution episode (the step time is "
+            "bimodal 1.32x, BENCH_EXTRA_r04; r3 measurement: slow episodes can "
+            "persist for an hour+, so cross-round comparisons of this value still "
+            "carry chip-state luck — compare mfu and the probe too); per-window step "
             "ms %s; MXU-health probe per window %s (a fixed 81%%-MFU matmul chain vs "
             "its committed nominal — the episodic slowdown does NOT affect pure MXU "
-            "work, so it is evidence, not a correction)"
+            "work, so probe~1.0 with a 396ms step means the slow episode, probe~1.0 "
+            "with 299ms the fast one)"
             % (args.windows,
                sum(_window_spacings(args.windows, args.window_spacing)),
                [round(s) for s in _window_spacings(args.windows, args.window_spacing)],

@@ -24,6 +24,13 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--bb_lr", type=float, default=1e-5)
     p.add_argument("--max_concurrent", type=int, default=1)
+    p.add_argument("--device_slots", type=str, default=None,
+                   help="Comma-of-slots device pool for concurrent experiments — the "
+                        "TPU analogue of the reference's CUDA_VISIBLE_DEVICES "
+                        "round-robin. Each slot is a local chip list for one job: "
+                        "'0;1;2;3' = 4 jobs x 1 chip, '0,1;2,3' = 2 jobs x 2 chips, "
+                        "'cpu;cpu' = CPU-backend slots (tests). Slots are a free "
+                        "pool: a finished slot is reused immediately.")
     p.add_argument("--grid_json", type=str, default=None,
                    help="Optional JSON list of [exp_id, classes, freeze_mode, "
                         "handle_abnormal, filter_no_finding]")
@@ -34,12 +41,14 @@ def main(argv=None):
         with open(args.grid_json) as f:
             grid = [tuple(row) for row in json.load(f)]
 
+    slots = args.device_slots.split(";") if args.device_slots else None
     lines = sweep.run_experiment_grid(
         data_json=args.data_json, image_root=args.image_root,
         image_root_2=args.image_root_2, output_base_dir=args.output_base_dir,
         vision_model_name=args.vision_model_name, grid=grid, epochs=args.epochs,
-        lr=args.lr, bb_lr=args.bb_lr, max_concurrent=args.max_concurrent,
-        extra_args=extra,
+        lr=args.lr, bb_lr=args.bb_lr,
+        max_concurrent=max(args.max_concurrent, len(slots) if slots else 0),
+        extra_args=extra, device_slots=slots,
     )
     for line in lines:
         print(line)
