@@ -709,15 +709,10 @@ def _run_stage0_breakdown(batch: int, steps_n: int):
     del loss_fwd
     gc.collect()
 
-    def grad_only(p, b):
-        # vision-only grads, like the real step (text tower + logit_scale frozen
-        # via stop_gradient -> XLA prunes their dW); differentiating the full tree
-        # would add ~3 GB of dead text-tower grads and OOM the chip
-        def f(vision):
-            return loss_fn(dict(p, vision=vision), b, None)[0]
-        return jax.value_and_grad(f)(p["vision"])
-
-    results["fwd_bwd"] = timed(jax.jit(grad_only), state["params"], batch_data)
+    # NOTE: a standalone fwd+bwd timing is not runnable at batch 16 — returning the
+    # 1.6 GB fp32 vision grads as program OUTPUTS (instead of consuming them in the
+    # fused update like the real donated step) pushes past HBM (measured OOM, twice).
+    # bwd+update is attributed by difference full_step - loss_fwd below.
 
     # the full step (loss + grads + masked AdamW update + cast bookkeeping)
     flops_full = _step_flops(step, state, batch_data, jax.random.key(0))
@@ -736,10 +731,8 @@ def _run_stage0_breakdown(batch: int, steps_n: int):
         mfu = flops / (ms / 1e3) / peak if ms else 0.0
         lines[name] = {"ms": round(ms, 1), "gflop": round(flops / 1e9, 1),
                        "mfu": round(mfu, 3)}
-    lines["optimizer_and_cast_by_difference_ms"] = round(
-        results["full_step"][0] - results["fwd_bwd"][0], 1)
-    lines["bwd_by_difference_ms"] = round(
-        results["fwd_bwd"][0] - results["loss_fwd"][0], 1)
+    lines["bwd_and_update_by_difference_ms"] = round(
+        results["full_step"][0] - results["loss_fwd"][0], 1)
     return {
         "metric": "stage0_step_breakdown",
         "value": lines["full_step"]["ms"],

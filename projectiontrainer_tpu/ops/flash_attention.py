@@ -453,19 +453,31 @@ def flash_attention(
     a 1.78x attention-matmul overhead but skips the XLA path's ~1 GB/layer fp32
     score materialization — measured 2x+ faster on the stage-0 tower.
 
-    Block sizes auto-scale up for non-causal unmasked shapes (the vision towers):
-    fewer, larger grid programs amortize per-program overhead."""
+    Auto block choice minimizes the PADDED length first — padded rows are real
+    MXU work. r3 profile: ViT-L's T=576 under 256-blocks padded to 768 (33% wasted
+    score rows AND forced the masked path's iota/compare work); Gemma's T=1087
+    under 256-blocks padded to 1280. Exact blocks (single 576 block; 384-blocks ->
+    1152) remove both. Only then do bigger blocks amortize per-program overhead
+    (measured 7.04 vs 7.86 ms at T=1024 D=72)."""
     del q_offset  # self-attention only (checked by flash_attention_supported)
     b, t, hq, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    if bq == DEFAULT_BQ and bk == DEFAULT_BK and not causal and kv_mask is None:
-        # bigger blocks amortize per-program overhead (measured 7.04 vs 7.86ms at
-        # T=1024 D=72) — but ONLY when they don't inflate the padded length: at
-        # T=576 (ViT-L/16-384) 1024-blocks would pad to 1024 where 256-blocks pad
-        # to 768, a 1.78x score-matmul blowup that dwarfs the overhead saving
-        if _pick_blocks(t, 1024, 1024)[2] <= _pick_blocks(t, bq, bk)[2]:
+    if bq == DEFAULT_BQ and bk == DEFAULT_BK:
+        if not causal and kv_mask is None and t <= 1024:
+            # one exact block per (b, h): zero padded rows, and t_pad == t compiles
+            # the mask-free kernel (no iota/compare/where). The kv-block lane pad
+            # (e.g. 576 -> 640 in the score matmul's minor dim) is far cheaper than
+            # whole padded q rows.
+            bq = bk = -(-t // 8) * 8
+        elif not causal and kv_mask is None:
             bq, bk = 1024, 1024
+        else:
+            # causal/masked: keep kv-block skipping, but pick the block size that
+            # minimizes t_pad (tie-break: larger block). 1087 -> 384-blocks (1152)
+            # instead of 256-blocks (1280).
+            blk = min((-(-t // c) * c, -c) for c in (128, 256, 384, 512))[1] * -1
+            bq = bk = blk
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     return out.swapaxes(1, 2)
