@@ -1235,8 +1235,8 @@ def main(argv=None):
     if args.window_spacing is None:
         args.window_spacing = 25.0 if record_mode else 0.0
 
-    if args.mode in ("stage0", "stage0-breakdown", "stage2", "stage2-8b", "gen",
-                     "flash-check", "ce-check", "pipeline"):
+    if args.mode in ("stage0", "stage0-breakdown", "stage2", "stage2-8b",
+                     "stage2-breakdown", "gen", "flash-check", "ce-check", "pipeline"):
         if args.mode == "flash-check":
             result = _run_flash_check()
         elif args.mode == "ce-check":
