@@ -439,6 +439,28 @@ def _flash_bwd(scale, causal, window, bq, bk, interpret, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _auto_blocks(t: int, *, causal: bool, has_mask: bool) -> tuple[int, int]:
+    """Pad-minimizing block choice (r3 profile: padded rows are real MXU work).
+
+    - non-causal unmasked, t <= 1024 (the vision towers): ONE exact block per
+      (b, h) — zero padded rows, and t_pad == t compiles the mask-free kernel
+      (no iota/compare/where). The kv-block lane pad (576 -> 640 in the score
+      matmul's minor dim) is far cheaper than whole padded q rows.
+    - non-causal unmasked, t > 1024: 1024-blocks (measured best at T=1024 D=72:
+      6.68 ms vs 7.85 (1024/512) / 13.07 (512/512) fwd+bwd).
+    - causal/masked: keep kv-block skipping, but pick the block size minimizing
+      t_pad (tie-break: larger block). Gemma's T=1087: 384-blocks pad to 1152
+      where the old 512/256 default padded to 1280 — measured 1.42x faster
+      attention fwd+bwd."""
+    if not causal and not has_mask:
+        if t <= 1024:
+            blk = -(-t // 8) * 8
+            return blk, blk
+        return 1024, 1024
+    blk = -min((-(-t // c) * c, -c) for c in (128, 256, 384, 512))[1]
+    return blk, blk
+
+
 def flash_attention(
     q, k, v, *, scale: Optional[float] = None, causal: bool = False,
     window: Optional[int] = None, kv_mask=None, q_offset=0,
@@ -464,20 +486,7 @@ def flash_attention(
     if scale is None:
         scale = d ** -0.5
     if bq == DEFAULT_BQ and bk == DEFAULT_BK:
-        if not causal and kv_mask is None and t <= 1024:
-            # one exact block per (b, h): zero padded rows, and t_pad == t compiles
-            # the mask-free kernel (no iota/compare/where). The kv-block lane pad
-            # (e.g. 576 -> 640 in the score matmul's minor dim) is far cheaper than
-            # whole padded q rows.
-            bq = bk = -(-t // 8) * 8
-        elif not causal and kv_mask is None:
-            bq, bk = 1024, 1024
-        else:
-            # causal/masked: keep kv-block skipping, but pick the block size that
-            # minimizes t_pad (tie-break: larger block). 1087 -> 384-blocks (1152)
-            # instead of 256-blocks (1280).
-            blk = min((-(-t // c) * c, -c) for c in (128, 256, 384, 512))[1] * -1
-            bq = bk = blk
+        bq, bk = _auto_blocks(t, causal=causal, has_mask=kv_mask is not None)
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     return out.swapaxes(1, 2)

@@ -181,22 +181,36 @@ def test_sharded_flash_plan_rejects_replicated_multihead_kv():
     assert plan is not None and plan[1][2] == "model"
 
 
-def test_block_bump_gated_on_padded_length():
-    """The non-causal 1024-block bump must not inflate padding: T=576 (ViT-L/16-384)
-    keeps the 256-block default (pad 768), T=1024 takes the bump (pad 1024) —
-    otherwise mid-size vision towers pay up to 1.78x extra score-matmul work."""
+def test_auto_blocks_minimize_padding():
+    """Pad-minimizing auto block choice (r3): padded rows are real MXU work, so the
+    choice minimizes t_pad before anything else. Pins the production decisions:
+    ViT T=576 exact (mask-free kernel), so400m T=1024 exact, Gemma T=1087 causal ->
+    384-blocks (pad 1152, not the old 512/256 default's 1280 — measured 1.42x),
+    stage-2 T=1855 -> 256-blocks (pad 1920, not 2048)."""
     from projectiontrainer_tpu.ops import flash_attention as fa
 
-    # T=1024: big blocks pad no worse -> bump applies
-    assert fa._pick_blocks(1024, 1024, 1024)[2] <= fa._pick_blocks(
-        1024, fa.DEFAULT_BQ, fa.DEFAULT_BK)[2]
-    # T=576: big blocks pad 1024 vs 768 -> bump must be rejected
-    assert fa._pick_blocks(576, 1024, 1024)[2] > fa._pick_blocks(
-        576, fa.DEFAULT_BQ, fa.DEFAULT_BK)[2]
-    # end-to-end: the kernel still matches the XLA reference at T=576 non-causal
+    assert fa._auto_blocks(576, causal=False, has_mask=False) == (576, 576)
+    assert fa._auto_blocks(1024, causal=False, has_mask=False) == (1024, 1024)
+    assert fa._auto_blocks(2048, causal=False, has_mask=False) == (1024, 1024)
+    assert fa._auto_blocks(1087, causal=True, has_mask=True) == (384, 384)
+    assert fa._auto_blocks(1855, causal=True, has_mask=True) == (384, 384)  # pad 1920
+    assert fa._auto_blocks(16, causal=True, has_mask=False) == (128, 128)
+    # t_pad for the picked causal blocks never exceeds any candidate's
+    for t in (9, 100, 576, 1000, 1087, 1855, 4000):
+        blk, _ = fa._auto_blocks(t, causal=True, has_mask=True)
+        t_pad = -(-t // blk) * blk
+        assert all(t_pad <= -(-t // c) * c for c in (128, 256, 384, 512)), (t, blk)
+
+    # end-to-end: the kernel still matches the XLA reference at the exact-block
+    # (mask-free) T=576 shape and at an unaligned causal length
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.normal(size=(1, 576, 2, 32)).astype(np.float32)) * 0.1
                for _ in range(3))
     out = flash_attention(q, k, v, interpret=True)
     ref = dot_product_attention(q, k, v, causal=False, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+    q2, k2, v2 = (jnp.asarray(rng.normal(size=(1, 391, 2, 32)).astype(np.float32)) * 0.1
+                  for _ in range(3))
+    out2 = flash_attention(q2, k2, v2, causal=True, interpret=True)
+    ref2 = dot_product_attention(q2, k2, v2, causal=True, impl="xla")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=2e-3, rtol=2e-3)
