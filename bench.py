@@ -1188,13 +1188,13 @@ def main(argv=None):
                         help="repeat the timed loop this many times and report the "
                              "best window (the shared tunneled chip has episodic "
                              "slow states; min-of-windows is the code's speed). "
-                             "Default: 5 for the driver-recorded stage1 mode, 3 "
+                             "Default: 4 for the driver-recorded stage1 mode, 3 "
                              "otherwise")
     parser.add_argument("--window_spacing", type=float, default=None,
                         help="seconds to sleep before the 2nd window, doubling per "
                              "window (capped 120s) — spreads the window set over "
                              "minutes so it straddles the chip's bimodal episodes. "
-                             "Default: 25 for the driver-recorded stage1 mode, 0 "
+                             "Default: 20 for the driver-recorded stage1 mode, 0 "
                              "otherwise")
     parser.add_argument("--remat", type=str, default=None,
                         help="'full' | 'dots' | 'none' | integer N (stage0 only: "
@@ -1231,9 +1231,11 @@ def main(argv=None):
     # window schedule by default; explicit flags override
     record_mode = args.mode == "stage1" and jax.default_backend() == "tpu"
     if args.windows is None:
-        args.windows = 5 if record_mode else 3
+        args.windows = 4 if record_mode else 3
     if args.window_spacing is None:
-        args.window_spacing = 25.0 if record_mode else 0.0
+        # sleep schedule [0, 20, 40, 80] = 140s; with ~2m20s of setup the whole run
+        # stays under 5 minutes (a driver-side timeout is not impossible)
+        args.window_spacing = 20.0 if record_mode else 0.0
 
     if args.mode in ("stage0", "stage0-breakdown", "stage2", "stage2-8b",
                      "stage2-breakdown", "gen", "flash-check", "ce-check", "pipeline"):
