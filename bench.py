@@ -135,6 +135,13 @@ def _calibrate(repeats: int = 1) -> float:
     return best * 1e3
 
 
+def _calib_release():
+    """Free the pinned calibration operands (~256 MB HBM) once the windows are done —
+    stage-0/-2 run close to HBM capacity and should not carry them afterwards."""
+    global _calib_state
+    _calib_state = None
+
+
 def _calib_nominal_ms():
     """Committed fast-state nominal for this chip kind; None = no committed nominal
     (session-best calibration is used alone, i.e. no cross-session normalization)."""
@@ -232,6 +239,8 @@ def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100,
             float(loss)
             times.append(time.perf_counter() - t0)
         calib = _calib_record(calibs) if calibrate else None
+        if calibrate:
+            _calib_release()
         return min(times), state, loss, [t / steps_n * 1e3 for t in times], calib
 
     if calibrate:
@@ -250,6 +259,8 @@ def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100,
         float(loss)
         times.append(time.perf_counter() - t0)
     calib = _calib_record(calibs) if calibrate else None
+    if calibrate:
+        _calib_release()
     return min(times), state, loss, [t / steps_n * 1e3 for t in times], calib
 
 
@@ -1045,8 +1056,6 @@ def _run_stage2_breakdown(batch: int, steps_n: int, model: str = "qwen3-8b",
     loss_fwd = jax.jit(lambda p, b, k: loss_fn(p, b, k)[0])
     results["loss_fwd"] = timed(loss_fwd, params, batch_data, jax.random.key(9))
 
-    trainable = masks.bool_mask(labels)
-
     def grad_fn(p, b, k):
         def f(lora):
             return loss_fn(dict(p, lora=lora), b, k)[0]
@@ -1074,7 +1083,6 @@ def _run_stage2_breakdown(batch: int, steps_n: int, model: str = "qwen3-8b",
         results["fwd_bwd"][0] - results["loss_fwd"][0], 1)
     lines["optimizer_and_dispatch_by_difference_ms"] = round(
         results["full_step"][0] - results["fwd_bwd"][0], 1)
-    del trainable
     return {
         "metric": f"stage2_step_breakdown_{model}_{quant_method}",
         "value": lines["full_step"]["ms"],

@@ -94,7 +94,13 @@ def _simulate(args, stage: str, stage_argv: list[str]) -> int:
     pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    procs = []
+    import tempfile
+
+    # child stdout goes to FILES, not pipes: hosts block at collectives waiting for
+    # each other, and a host whose pipe buffer fills while an earlier host is being
+    # drained sequentially would deadlock the whole simulation
+    logdir = tempfile.mkdtemp(prefix="ptt_launch_sim_")
+    procs, logs = [], []
     for pid in range(args.simulate):
         cmd = [
             sys.executable, "-m", "projectiontrainer_tpu.cli.launch",
@@ -104,15 +110,19 @@ def _simulate(args, stage: str, stage_argv: list[str]) -> int:
             "--feeder_procs", args.feeder_procs,
             stage, "--", *stage_argv,
         ]
-        procs.append(subprocess.Popen(
-            cmd, env=env, text=True,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        ))
+        log_path = os.path.join(logdir, f"host{pid}.log")
+        logs.append(log_path)
+        log_f = open(log_path, "w")
+        procs.append((subprocess.Popen(
+            cmd, env=env, text=True, stdout=log_f, stderr=subprocess.STDOUT,
+        ), log_f))
     rc = 0
-    for pid, p in enumerate(procs):
-        out, _ = p.communicate()
-        for line in (out or "").splitlines():
-            print(f"[host {pid}] {line}")
+    for pid, (p, log_f) in enumerate(procs):
+        p.wait()
+        log_f.close()
+        with open(logs[pid]) as f:
+            for line in f:
+                print(f"[host {pid}] {line.rstrip()}")
         rc = rc or p.returncode
     return rc
 
@@ -167,11 +177,18 @@ def main(argv=None) -> int:
             coordinator_address=args.coordinator,
             num_processes=args.num_processes, process_id=args.process_id,
         )
-    elif args.num_processes is None and args.coordinator is None and (
-            "TPU_WORKER_HOSTNAMES" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS"
-            in os.environ):
-        # Cloud TPU pod: jax auto-detects everything from the runtime metadata
-        jax.distributed.initialize()
+    elif (args.num_processes is None and args.coordinator is None
+          and not args.devices_per_host
+          and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+        # Possible Cloud TPU pod: let jax's cluster detection fill coordinator /
+        # process count / process id. Plain `gcloud compute tpus tpu-vm` pods are
+        # detected via the GCE metadata server (TPU_WORKER_HOSTNAMES /
+        # MEGASCALE_COORDINATOR_ADDRESS exist only on GKE/multislice), so attempt
+        # the bare call and fall back to single-process when no cluster is found.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single host / no cluster env: normal local run
+            print(f"launch: single-process (cluster auto-detect: {e})", flush=True)
         process_index, process_count = jax.process_index(), jax.process_count()
     else:
         process_index, process_count = jax.process_index(), jax.process_count()

@@ -23,7 +23,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--bb_lr", type=float, default=1e-5)
-    p.add_argument("--max_concurrent", type=int, default=1)
+    p.add_argument("--max_concurrent", type=int, default=None,
+                   help="Concurrent experiment cap. Default: len(--device_slots) when "
+                        "slots are given, else 1. An explicit value always wins (e.g. "
+                        "4 slots but only RAM for 2 feeders -> --max_concurrent 2).")
     p.add_argument("--device_slots", type=str, default=None,
                    help="Comma-of-slots device pool for concurrent experiments — the "
                         "TPU analogue of the reference's CUDA_VISIBLE_DEVICES "
@@ -42,12 +45,16 @@ def main(argv=None):
             grid = [tuple(row) for row in json.load(f)]
 
     slots = args.device_slots.split(";") if args.device_slots else None
+    if args.max_concurrent is not None:
+        max_concurrent = args.max_concurrent  # explicit user cap always wins
+    else:
+        max_concurrent = len(slots) if slots else 1
     lines = sweep.run_experiment_grid(
         data_json=args.data_json, image_root=args.image_root,
         image_root_2=args.image_root_2, output_base_dir=args.output_base_dir,
         vision_model_name=args.vision_model_name, grid=grid, epochs=args.epochs,
         lr=args.lr, bb_lr=args.bb_lr,
-        max_concurrent=max(args.max_concurrent, len(slots) if slots else 0),
+        max_concurrent=max_concurrent,
         extra_args=extra, device_slots=slots,
     )
     for line in lines:

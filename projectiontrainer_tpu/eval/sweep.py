@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -216,10 +217,15 @@ def run_experiment_grid(
     best_lines = []
 
     def drain(block: bool):
+        """Reap FINISHED jobs only; ``block=True`` waits until at least one finishes
+        (the reference's ``wait -n`` — run_distributed_experiments.sh:243-253). Never
+        waits on still-running jobs, so a long job doesn't convoy the others."""
         nonlocal running
-        still = []
-        for exp_id, p, slot in running:
-            if block or p.poll() is not None:
+        while True:
+            still, done = [], []
+            for item in running:
+                (done if item[1].poll() is not None else still).append(item)
+            for exp_id, p, slot in done:
                 p.wait()
                 if device_slots:
                     free_slots.append(slot)  # slot returns to the pool immediately
@@ -230,9 +236,10 @@ def run_experiment_grid(
                         f.write("\t".join(line.split("\t")[1:]) + "\n")
                 except Exception as e:
                     print(f"[sweep] {exp_id} failed to summarize: {e}", file=sys.stderr)
-            else:
-                still.append((exp_id, p, slot))
-        running = still
+            running = still
+            if not block or done or not running:
+                return
+            time.sleep(0.2)
 
     for job in grid:
         exp_id, classes, freeze_mode, handle_abn, filter_nf = job
@@ -254,5 +261,6 @@ def run_experiment_grid(
         print(f"[sweep] launching {exp_id} (slot={slot}): {' '.join(cmd)}",
               file=sys.stderr)
         running.append((exp_id, subprocess.Popen(cmd, env=slot_env(slot)), slot))
-    drain(block=True)
+    while running:  # block=True returns after EACH completion; reap until all done
+        drain(block=True)
     return best_lines

@@ -186,7 +186,7 @@ def test_auto_blocks_minimize_padding():
     choice minimizes t_pad before anything else. Pins the production decisions:
     ViT T=576 exact (mask-free kernel), so400m T=1024 exact, Gemma T=1087 causal ->
     384-blocks (pad 1152, not the old 512/256 default's 1280 — measured 1.42x),
-    stage-2 T=1855 -> 256-blocks (pad 1920, not 2048)."""
+    stage-2 T=1855 -> 384-blocks (pad 1920, not 2048)."""
     from projectiontrainer_tpu.ops import flash_attention as fa
 
     assert fa._auto_blocks(576, causal=False, has_mask=False) == (576, 576)

@@ -22,6 +22,9 @@ def test_console_scripts_resolve():
         mod_name, func = target.split(":")
         mod = importlib.import_module(mod_name)
         assert callable(getattr(mod, func)), f"{name} -> {target} not callable"
+        # must route through the exit-code shims: mains return result values, and
+        # pip's `sys.exit(main())` wrapper would turn those into exit status 1
+        assert mod_name.endswith("._scripts"), f"{name} bypasses the exit-code shim"
 
 
 def test_core_dependencies_declared():

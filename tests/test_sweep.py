@@ -116,3 +116,41 @@ def test_experiment_grid_slot_pool(tmp_path, monkeypatch):
     assert len(launches) == 4 and len(lines) == 4
     for cmd, env in launches:
         assert env["JAX_PLATFORMS"] == "cpu"
+
+
+def test_experiment_grid_no_convoy(tmp_path, monkeypatch):
+    """wait -n semantics: a long job must NOT block the queue — later jobs launch as
+    soon as any slot frees (the pre-fix drain p.wait()ed every running job)."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    events = []
+
+    class FakeProc:
+        def __init__(self, cmd, env=None):
+            idx = len(events)
+            events.append(("launch", idx, _time.monotonic() - t0))
+            # job 0 is slow (1.2s); the rest finish almost immediately
+            self.deadline = _time.monotonic() + (1.2 if idx == 0 else 0.05)
+
+        def poll(self):
+            return 0 if _time.monotonic() >= self.deadline else None
+
+        def wait(self):
+            while self.poll() is None:
+                _time.sleep(0.01)
+            return 0
+
+    monkeypatch.setattr(sweep.subprocess, "Popen", FakeProc)
+    monkeypatch.setattr(sweep, "emit_best_result",
+                        lambda exp_id, d, **kw: f"BEST_RESULT\t{exp_id}\t0\t0\t0\tx")
+    grid = [(f"E{i}", "A,B", "Freeze", False, False) for i in range(4)]
+    lines = sweep.run_experiment_grid(
+        data_json="d.json", image_root="imgs", output_base_dir=str(tmp_path),
+        vision_model_name="vm", grid=grid, max_concurrent=2,
+        device_slots=["cpu", "cpu"],
+    )
+    assert len(lines) == 4
+    launches = {idx: at for kind, idx, at in events if kind == "launch"}
+    # jobs 2 and 3 must have launched well before job 0's 1.2s deadline
+    assert launches[2] < 1.0 and launches[3] < 1.0, launches
