@@ -14,6 +14,7 @@ scheme for {params, opt_state, step, metadata} with
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 from typing import Any, Optional
@@ -25,14 +26,30 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, directory: str, *, save_every_n_epochs: int = 1,
-                 min_save_epoch: int = 0, best_mode: str = "min"):
+                 min_save_epoch: int = 0, best_mode: str = "min",
+                 async_save: bool = True):
+        """``async_save=True`` (default): the HIGH-FREQUENCY ``save_step`` path
+        (``--save_steps`` cadence) returns once the device->host copy is done (safe
+        even with donated train states — the next step can reuse the buffers) and
+        the serialization/disk writes overlap the following train steps; the next
+        save, any restore, and interpreter exit flush the in-flight write. Epoch /
+        best / final saves stay blocking: they sit at eval boundaries where a stall
+        is cheap, and other readers (evaluators constructing their own manager on
+        the same directory, e.g. the sweep) must see them committed the moment the
+        call returns. The reference blocks training for every save
+        (accelerator.save_state — Stage2/trainer.py:718)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_every_n_epochs = save_every_n_epochs
         self.min_save_epoch = min_save_epoch
         self.best_mode = best_mode
+        self.async_save = async_save
         self._best_metric: Optional[float] = None
+        self._last_step_saved: Optional[int] = None
+        # StandardCheckpointer IS an AsyncCheckpointer under the hood; sync behavior
+        # comes from waiting immediately after save
         self._ckptr = ocp.StandardCheckpointer()
+        atexit.register(self.wait)
         state_file = os.path.join(self.directory, "manager_state.json")
         if os.path.exists(state_file):
             try:
@@ -84,11 +101,18 @@ class CheckpointManager:
                 f"save '{name}' — got rows {gathered.tolist()}"
             )
 
-    def _save(self, name: str, state, metadata: Optional[dict] = None):
+    def wait(self):
+        """Block until any in-flight async save is fully committed to disk."""
+        self._ckptr.wait_until_finished()
+
+    def _save(self, name: str, state, metadata: Optional[dict] = None, *,
+              block: bool = True):
         path = os.path.join(self.directory, name)
         self._assert_cross_host_consistent(name, state)
+        self.wait()  # at most one save in flight; flush the previous one first
         self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        if block:
+            self.wait()
         if metadata is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, f"{name}_metadata.json"), "w") as f:
                 json.dump(metadata, f, indent=2, default=str)
@@ -134,6 +158,7 @@ class CheckpointManager:
     def restore(self, name: str, template) -> Any:
         """Restore into the structure/shardings of ``template`` (an abstract or concrete
         state pytree)."""
+        self.wait()  # the target may be the save still in flight
         path = os.path.join(self.directory, name)
         template = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return self._ckptr.restore(path, template)
@@ -146,6 +171,7 @@ class CheckpointManager:
         so any optimizer layout restores; ``params_template`` is unused but kept for
         call-site clarity."""
         del params_template
+        self.wait()
         path = os.path.join(self.directory, name)
         meta = self._ckptr.metadata(path).item_metadata.tree
 
@@ -168,8 +194,18 @@ class CheckpointManager:
         save, bounding disk for long runs. Epoch checkpoints are untouched."""
         import shutil
 
-        prev = self.latest_step()
-        self._save(f"step_{step}", state, metadata)
+        # self-tracked, NOT latest_step(): the previous async save commits (dir
+        # rename) in a background thread, so a directory scan taken now may miss it
+        # and skip the prune (observed with back-to-back fast steps)
+        if self._last_step_saved is None:
+            self._last_step_saved = self.latest_step()
+        prev = self._last_step_saved
+        # async (when enabled): the in-flight write overlaps the next train steps;
+        # the state snapshot is host-copied before _save returns, so the trainer's
+        # donated buffers may be reused immediately. The wait() at the head of
+        # _save commits `prev` before the rmtree below can touch it.
+        self._save(f"step_{step}", state, metadata, block=not self.async_save)
+        self._last_step_saved = step
         # Directory mutation must be single-writer: concurrent rmtree from every
         # process against the shared checkpoint dir races (and a non-zero process
         # could start deleting before process 0's metadata write lands). Sync so the

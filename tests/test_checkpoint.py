@@ -330,3 +330,29 @@ def test_peft_adapter_hf_integration(tmp_path):
     )
     ours = np.asarray(dec.logits(params, dcfg, hidden))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_async_step_save_snapshot_and_flush(tmp_path):
+    """async_save (default) applies to the high-frequency save_step path: the call
+    returns after the device->host snapshot, back-to-back saves flush the previous
+    one (and prune it), restore flushes first, and the snapshot is isolated from
+    later updates to the live (donated) state. Epoch/best/final saves stay blocking
+    so other readers see them committed on return."""
+    m = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    state = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(10)}
+    m.save_step(10, state)
+    # immediately update the live state (what the next donated train step does)
+    state2 = {"params": {"w": state["params"]["w"] + 100.0},
+              "step": state["step"] + 1}
+    m.save_step(11, state2)  # flushes step_10, then prunes it
+    r1 = m.restore("step_11", state)  # waits for the in-flight write
+    np.testing.assert_array_equal(np.asarray(r1["params"]["w"]), np.arange(4.0) + 100)
+    assert int(r1["step"]) == 11
+    assert m.latest_step() == 11  # step_10 pruned after step_11 committed
+    # blocking saves are committed the moment the call returns: a SECOND manager on
+    # the same directory (the evaluator/sweep pattern) restores without coordination
+    assert m.save_best(0.5, state2)
+    m2 = CheckpointManager(str(tmp_path / "ck"), async_save=True)
+    rb = m2.restore("best", state2)
+    np.testing.assert_array_equal(np.asarray(rb["params"]["w"]),
+                                  np.asarray(state2["params"]["w"]))
