@@ -6,9 +6,10 @@ visual-only embeds (Stage1/inference_stage1.py:176-186), Stage-2 VQA generation 
 generation (Stage2/trainer.py:596-626, left-padding forced at :499-505).
 
 TPU-first design:
-- the cache is a fixed [B, prefix+max_new] buffer; one compilation per (prefix bucket,
-  max_new) pair — no dynamic shapes anywhere;
-- decode is a ``lax.scan`` over steps with donated carry; done-sequences keep writing pad;
+- the KV cache is SPLIT (ops/decode_attention.py): a per-sample prefix cache [B, P]
+  written once at prefill and never reordered, plus a per-row generated cache
+  [B*beams, G]. One compilation per (prefix bucket, max_new) pair — no dynamic shapes;
+- decode is a ``lax.while_loop`` over steps; done-sequences keep writing pad;
 - the prefix is *embeddings* (there may be no prompt ids at all), with left-padded masks
   so the last prefix slot is always the last valid token;
 - samplers: greedy, temperature/top-k/top-p sampling with repetition penalty (HF
@@ -138,15 +139,25 @@ def _prefill(params, llm_cfg, inputs_embeds, attention_mask, total_len):
     return cache, logits, positions[:, -1], full_mask
 
 
+def _cache_pad() -> int:
+    """Prefix/generated cache length padding. The Pallas decode kernel needs
+    128-multiple lengths (padded slots are masked, never attended); exact shapes
+    elsewhere — the XLA fallback takes any length."""
+    return 128 if jax.default_backend() == "tpu" else 1
+
+
 # ---------------------------------------------------------------------------- greedy/sample
 
 
 def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
                      *, with_stats: bool = False):
     b, p, _ = inputs_embeds.shape
-    total = p + cfg.max_new_tokens
-    cache, logits, last_pos, full_mask = _prefill(
-        params, llm_cfg, inputs_embeds, attention_mask, total
+    cache, logits, last_pos, _ = _prefill(
+        params, llm_cfg, inputs_embeds, attention_mask, p
+    )
+    cache, pmask = dec.split_cache(
+        cache, llm_cfg, b, cfg.max_new_tokens,
+        prefix_mask=attention_mask, pad_to=_cache_pad(),
     )
 
     generated0 = jnp.full((b, cfg.max_new_tokens), -1, jnp.int32)
@@ -161,7 +172,7 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         return (t < cfg.max_new_tokens) & ~jnp.all(done)
 
     def body(carry):
-        t, cache, logits, generated, done, key, full_mask = carry
+        t, cache, logits, generated, done, key = carry
         key, sub = jax.random.split(key)
         token = _sample_token(logits, cfg, generated, sub).astype(jnp.int32)
         if cfg.eos_token_id is not None:
@@ -170,21 +181,18 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         if cfg.eos_token_id is not None:
             done = done | (token == cfg.eos_token_id)
 
-        # next step forward
+        # next step forward (split cache: q_offset = decode step t, prefix mask static)
         emb = dec.embed(params, llm_cfg, token[:, None]).astype(inputs_embeds.dtype)
-        full_mask = jax.lax.dynamic_update_slice(
-            full_mask, jnp.ones((b, 1), jnp.int32), (0, p + t)
-        )
         positions = (last_pos + 1 + t)[:, None]
         hidden, cache = dec.forward(
-            params, llm_cfg, inputs_embeds=emb, attention_mask=full_mask,
-            positions=positions, cache=cache, q_offset=p + t,
+            params, llm_cfg, inputs_embeds=emb, attention_mask=pmask,
+            positions=positions, cache=cache, q_offset=t, prefix_len=p,
         )
         logits = dec.logits(params, llm_cfg, hidden[:, -1:, :])[:, 0]
-        return (t + 1, cache, logits, generated, done, key, full_mask)
+        return (t + 1, cache, logits, generated, done, key)
 
-    carry = (jnp.zeros((), jnp.int32), cache, logits, generated0, done0, key, full_mask)
-    steps_taken, cache, logits, generated, done, key, full_mask = jax.lax.while_loop(
+    carry = (jnp.zeros((), jnp.int32), cache, logits, generated0, done0, key)
+    steps_taken, cache, logits, generated, done, key = jax.lax.while_loop(
         cond, body, carry
     )
     # replace the -1 "unwritten" sentinel (rows stopped early / shouldn't remain)
@@ -195,22 +203,26 @@ def _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
 # ---------------------------------------------------------------------------- beam search
 
 
-def _reorder_cache(cache, flat_src, prefix_len: int, gen_len: int, *, naive: bool = False):
-    """Reorder the KV cache to follow beam selection.
+def _reorder_cache(cache, flat_src, *, naive: bool = False):
+    """Reorder the GENERATED caches to follow beam selection.
 
-    Default: one fused row gather per leaf, SKIPPED entirely (``lax.cond``) on steps
-    where every beam continues its own row — the common case once beams stabilize, and
-    where the measured win comes from (reference config on v5e: 6.44s vs 6.60s p50 for
-    the unconditional gather). A prefix-splitting variant (gathering only the generated
-    region via dynamic slices) was measured SLOWER than the plain gather on TPU — the
-    slice/update materializations cost more than the prefix re-copy XLA fuses into the
-    gather — so it was dropped. ``naive=True`` keeps the unconditional full gather for
-    parity tests and as the bench baseline.
+    With the split prefix/generated cache (ops/decode_attention.py) only the small
+    ``kg``/``vg`` leaves ([B*beams, G]) carry per-beam rows — the shared prefix cache
+    is per-sample and never reordered, which is the structural fix for the full-cache
+    gather the monolithic layout paid every step. The gather is additionally SKIPPED
+    entirely (``lax.cond``) on steps where every beam continues its own row — the
+    common case once beams stabilize (measured on the monolithic layout: 6.44s vs
+    6.60s p50). ``naive=True`` keeps the unconditional gather for parity tests and as
+    the bench baseline.
     """
-    del prefix_len, gen_len
 
     def gather(c):
-        return jax.tree.map(lambda x: jnp.take(x, flat_src, axis=0), c)
+        return [
+            {**layer,
+             "kg": jnp.take(layer["kg"], flat_src, axis=0),
+             "vg": jnp.take(layer["vg"], flat_src, axis=0)}
+            for layer in c
+        ]
 
     if naive:
         return gather(cache)
@@ -247,24 +259,27 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
     b, p, d = inputs_embeds.shape
     nb = cfg.num_beams
     max_new = cfg.max_new_tokens
-    total = p + max_new
     vocab = llm_cfg.vocab_size
     k2 = 2 * nb
 
-    # Prefill ONCE per sample, then expand to beams: every beam of a batch shares the
-    # identical prefix, so running the [B*nb]-row prefix through the decoder (as HF
-    # does via `expand_inputs_for_generation`) recomputes the same attention nb times.
-    # Prefill at B rows and row-repeat the cache/logits/mask instead — exact, and at
-    # the reference config (831-token prefix, 3 beams, an 8B decoder) it removes 2/3
-    # of the prefill FLOPs (Stage2/inference_vqa_stage2.py:271-277 pays the full cost).
+    # Prefill ONCE per sample: every beam of a batch shares the identical prefix, so
+    # running the [B*nb]-row prefix through the decoder (as HF does via
+    # `expand_inputs_for_generation`) recomputes the same attention nb times. The split
+    # cache keeps the prefix at B rows for the WHOLE decode — beams never get their own
+    # prefix copy at all (exact; at the reference config — 831-token prefix, 3 beams,
+    # an 8B decoder — this removes 2/3 of the prefill FLOPs the reference pays at
+    # Stage2/inference_vqa_stage2.py:271-277, and 2/3 of the per-step cache reads).
     def expand(x):
         return jnp.repeat(x, nb, axis=0)
 
-    cache, logits, last_pos, full_mask = _prefill(
-        params, llm_cfg, inputs_embeds, attention_mask, total
+    cache, logits, last_pos, _ = _prefill(
+        params, llm_cfg, inputs_embeds, attention_mask, p
     )
-    cache = jax.tree.map(expand, cache)
-    logits, last_pos, full_mask = expand(logits), expand(last_pos), expand(full_mask)
+    cache, pmask = dec.split_cache(
+        cache, llm_cfg, b * nb, max_new,
+        prefix_mask=attention_mask, pad_to=_cache_pad(),
+    )
+    logits, last_pos = expand(logits), expand(last_pos)
 
     # after prefill every beam of a batch is identical: only beam 0 may win step 0
     live_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (nb - 1), jnp.float32), (b, 1))
@@ -282,7 +297,7 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         return (t < max_new) & jnp.any(heur_unsat)
 
     def body(carry):
-        (t, cache, logits, live_scores, live_gen, fin_scores, fin_gen, full_mask,
+        (t, cache, logits, live_scores, live_gen, fin_scores, fin_gen,
          key, heur_unsat) = carry
         key, sub = jax.random.split(key)
 
@@ -365,19 +380,15 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         live_gen = jax.lax.dynamic_update_slice(live_gen, live_tok[..., None], (0, 0, t))
 
         flat_src = (jnp.arange(b)[:, None] * nb + live_src).reshape(-1)  # [B*nb]
-        cache = _reorder_cache(cache, flat_src, p, max_new, naive=naive_reorder)
-        # full_mask and last_pos are beam-invariant (prefix padding is per-sample, the
-        # generated region is all-ones) — no reorder needed.
+        cache = _reorder_cache(cache, flat_src, naive=naive_reorder)
+        # the prefix cache/mask and last_pos are beam-invariant — no reorder needed.
 
         token = live_tok.reshape(-1)
         emb = dec.embed(params, llm_cfg, token[:, None]).astype(inputs_embeds.dtype)
-        full_mask = jax.lax.dynamic_update_slice(
-            full_mask, jnp.ones((b * nb, 1), jnp.int32), (0, p + t)
-        )
         positions = (last_pos + 1 + t)[:, None]
         hidden, cache = dec.forward(
-            params, llm_cfg, inputs_embeds=emb, attention_mask=full_mask,
-            positions=positions, cache=cache, q_offset=p + t,
+            params, llm_cfg, inputs_embeds=emb, attention_mask=pmask,
+            positions=positions, cache=cache, q_offset=t, prefix_len=p,
         )
         logits = dec.logits(params, llm_cfg, hidden[:, -1:, :])[:, 0]
 
@@ -391,13 +402,13 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
         heur_unsat = heur_unsat & (best_possible > worst_finished)
 
         return (t + 1, cache, logits, live_scores, live_gen, fin_scores, fin_gen,
-                full_mask, key, heur_unsat)
+                key, heur_unsat)
 
     heur_unsat0 = jnp.ones((b,), bool)
     carry = (jnp.zeros((), jnp.int32), cache, logits, live_scores0, live_gen0,
-             fin_scores0, fin_gen0, full_mask, key, heur_unsat0)
+             fin_scores0, fin_gen0, key, heur_unsat0)
     (steps_taken, cache, logits, live_scores, live_gen, fin_scores, fin_gen,
-     full_mask, key, heur_unsat) = jax.lax.while_loop(cond, body, carry)
+     key, heur_unsat) = jax.lax.while_loop(cond, body, carry)
 
     # finalize: surviving live beams enter the finished set penalized at max_new
     # tokens — but ONLY for batches that ran to max_new (heuristic still

@@ -281,7 +281,7 @@ def _proj(lp, name, x, lora_layer, lora_cfg, lora_rng=None):
 
 def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
                      kv_mask, q_offset, cache=None, lora_layer=None, lora_cfg=None,
-                     lora_rng=None):
+                     lora_rng=None, prefix_len=None):
     b, t, _ = x.shape
     q = _proj(lp, "q_proj", x, lora_layer, lora_cfg, lora_rng).reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = _proj(lp, "k_proj", x, lora_layer, lora_cfg, lora_rng).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -291,6 +291,27 @@ def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
         k = _norm(lp["k_norm"], k, cfg)
     q = L.apply_rope(q, sin, cos)
     k = L.apply_rope(k, sin, cos)
+
+    if cache is not None and "kp" in cache:
+        # Split prefix/generated decode cache (ops/decode_attention.py): the prefix
+        # K/V live at B rows shared by all beams; this step's K/V is written at
+        # generated slot ``q_offset`` (= the 0-based decode step t). ``kv_mask`` here
+        # is the [B, P] prefix padding mask; ``prefix_len`` the real prefix length.
+        from projectiontrainer_tpu.ops.decode_attention import decode_attention
+
+        kg = jax.lax.dynamic_update_slice(
+            cache["kg"], k.astype(cache["kg"].dtype), (0, q_offset, 0, 0))
+        vg = jax.lax.dynamic_update_slice(
+            cache["vg"], v.astype(cache["vg"].dtype), (0, q_offset, 0, 0))
+        new_cache = {"kp": cache["kp"], "vp": cache["vp"], "kg": kg, "vg": vg}
+        window = cfg.sliding_window if layer_type == "sliding" else None
+        out = decode_attention(
+            q[:, 0].astype(cache["kp"].dtype), cache["kp"], cache["vp"], kg, vg,
+            prefix_mask=kv_mask, t=q_offset, prefix_len=prefix_len,
+            scale=cfg.attn_scale, window=window, impl=cfg.attn_impl,
+        ).astype(q.dtype)
+        out = out.reshape(b, t, cfg.num_heads * cfg.head_dim)
+        return _proj(lp, "o_proj", out, lora_layer, lora_cfg, lora_rng), new_cache
 
     new_cache = None
     if cache is not None:
@@ -326,18 +347,23 @@ def forward(
     inputs_embeds=None,
     attention_mask=None,   # [B, T_kv] bool/int padding mask over the kv sequence
     positions=None,        # [B, T] int positions (defaults to arange + q_offset)
-    cache=None,            # list of per-layer {'k','v'} static-shape caches
+    cache=None,            # list of per-layer {'k','v'} (monolithic) or
+                           # {'kp','vp','kg','vg'} (split prefix/generated) caches
     q_offset=0,
     remat: bool = False,
     lora=None,             # optional LoRA adapter pytree ({'layers': [...]})
     lora_cfg=None,
     lora_rng=None,         # PRNG key enabling LoRA dropout (train steps only)
+    prefix_len=None,       # split-cache decode only: REAL prefix length (static int)
 ):
     """Run the decoder. Returns (hidden_states, new_cache).
 
     Training: pass ``inputs_embeds`` (e.g. [visual; text] concat) or ``input_ids``; no cache.
-    Decoding: pass a cache; ``q_offset`` is the number of already-cached tokens, and
-    ``attention_mask`` must cover the full cache length.
+    Decoding with a monolithic cache: ``q_offset`` is the number of already-cached
+    tokens and ``attention_mask`` must cover the full cache length. Decoding with a
+    split cache (see :func:`init_gen_cache`): ``q_offset`` is the 0-based decode step,
+    ``attention_mask`` is the [B, P] prefix padding mask, and ``prefix_len`` the real
+    (unpadded) prefix length; positions must be passed explicitly.
     """
     if inputs_embeds is None:
         inputs_embeds = embed(params, cfg, input_ids)
@@ -365,6 +391,7 @@ def forward(
             lp["attn"], cfg, h, sin, cos, layer_type=layer_type,
             kv_mask=kv_mask, q_offset=q_offset, cache=layer_cache,
             lora_layer=lora_layer, lora_cfg=lora_cfg, lora_rng=layer_rng,
+            prefix_len=prefix_len,
         )
         mlp_rng = None if layer_rng is None else jax.random.fold_in(layer_rng, 101)
         if cfg.sandwich_norms:
@@ -438,6 +465,34 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
         }
         for _ in range(cfg.num_layers)
     ]
+
+
+def split_cache(prefix_cache, cfg: DecoderConfig, rows: int, gen_len: int,
+                prefix_mask=None, pad_to: int = 1):
+    """Convert a prefilled monolithic cache [B, P] into the split decode structure.
+
+    ``rows`` = B * beams (the generated caches carry one row per beam); ``gen_len`` is
+    max_new_tokens. ``pad_to`` pads the prefix/generated lengths up (128 on TPU so the
+    Pallas kernel's block shapes tile); the padded prefix region is masked out via the
+    returned padded ``prefix_mask``. Returns (cache_list, padded_prefix_mask).
+    """
+    def rup(n):
+        return (n + pad_to - 1) // pad_to * pad_to
+
+    b, p = prefix_cache[0]["k"].shape[:2]
+    p_pad, g_pad = rup(p), rup(gen_len)
+    dtype = prefix_cache[0]["k"].dtype
+    out = []
+    for layer in prefix_cache:
+        kp, vp = layer["k"], layer["v"]
+        if p_pad != p:
+            pad = [(0, 0), (0, p_pad - p), (0, 0), (0, 0)]
+            kp, vp = jnp.pad(kp, pad), jnp.pad(vp, pad)
+        zeros = jnp.zeros((rows, g_pad, cfg.num_kv_heads, cfg.head_dim), dtype)
+        out.append({"kp": kp, "vp": vp, "kg": zeros, "vg": zeros})
+    if prefix_mask is not None and p_pad != p:
+        prefix_mask = jnp.pad(prefix_mask.astype(jnp.int32), [(0, 0), (0, p_pad - p)])
+    return out, prefix_mask
 
 
 # ---------------------------------------------------------------------------- HF import
