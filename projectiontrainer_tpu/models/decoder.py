@@ -299,10 +299,14 @@ def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
         # is the [B, P] prefix padding mask; ``prefix_len`` the real prefix length.
         from projectiontrainer_tpu.ops.decode_attention import decode_attention
 
+        # split caches are head-major [R, Hkv, G, D] (see ops/decode_attention.py);
+        # this step's [R, 1, Hkv, D] K/V swaps to [R, Hkv, 1, D] before the write
         kg = jax.lax.dynamic_update_slice(
-            cache["kg"], k.astype(cache["kg"].dtype), (0, q_offset, 0, 0))
+            cache["kg"], jnp.swapaxes(k, 1, 2).astype(cache["kg"].dtype),
+            (0, 0, q_offset, 0))
         vg = jax.lax.dynamic_update_slice(
-            cache["vg"], v.astype(cache["vg"].dtype), (0, q_offset, 0, 0))
+            cache["vg"], jnp.swapaxes(v, 1, 2).astype(cache["vg"].dtype),
+            (0, 0, q_offset, 0))
         new_cache = {"kp": cache["kp"], "vp": cache["vp"], "kg": kg, "vg": vg}
         window = cfg.sliding_window if layer_type == "sliding" else None
         out = decode_attention(
@@ -484,11 +488,13 @@ def split_cache(prefix_cache, cfg: DecoderConfig, rows: int, gen_len: int,
     dtype = prefix_cache[0]["k"].dtype
     out = []
     for layer in prefix_cache:
-        kp, vp = layer["k"], layer["v"]
+        # one-time prefill→decode transpose to the head-major split layout
+        # [B, Hkv, P, D] (ops/decode_attention.py block-tiling requirement)
+        kp, vp = jnp.swapaxes(layer["k"], 1, 2), jnp.swapaxes(layer["v"], 1, 2)
         if p_pad != p:
-            pad = [(0, 0), (0, p_pad - p), (0, 0), (0, 0)]
+            pad = [(0, 0), (0, 0), (0, p_pad - p), (0, 0)]
             kp, vp = jnp.pad(kp, pad), jnp.pad(vp, pad)
-        zeros = jnp.zeros((rows, g_pad, cfg.num_kv_heads, cfg.head_dim), dtype)
+        zeros = jnp.zeros((rows, cfg.num_kv_heads, g_pad, cfg.head_dim), dtype)
         out.append({"kp": kp, "vp": vp, "kg": zeros, "vg": zeros})
     if prefix_mask is not None and p_pad != p:
         prefix_mask = jnp.pad(prefix_mask.astype(jnp.int32), [(0, 0), (0, p_pad - p)])

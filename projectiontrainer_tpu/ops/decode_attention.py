@@ -4,11 +4,17 @@ Serving/eval decode (replacing the reference's HF ``model.generate`` KV-cache pa
 reference: Stage2/inference_vqa_stage2.py:271-277, Stage2/trainer.py:604-614) keeps TWO
 caches instead of one [B*beams, P+G] buffer:
 
-- a **prefix** cache ``[B, P]`` — the visual+question prefix is identical for every beam
-  of a sample, so it is stored once per sample, never reordered on beam selection, and
-  each (batch, kv-head) program reads it ONCE for all beams;
-- a **generated** cache ``[B*beams, G]`` — small (G = max_new_tokens), the only part the
-  per-step beam reorder has to gather.
+- a **prefix** cache ``[B, Hkv, P, D]`` — the visual+question prefix is identical for
+  every beam of a sample, so it is stored once per sample, never reordered on beam
+  selection, and each (batch, kv-head) program reads it ONCE for all beams;
+- a **generated** cache ``[B*beams, Hkv, G, D]`` — small (G = max_new_tokens), the only
+  part the per-step beam reorder has to gather.
+
+Caches are stored HEAD-MAJOR (the kv-head axis before the sequence axis), unlike the
+training/prefill cache's ``[B, T, Hkv, D]``: Mosaic requires a Pallas block's trailing
+two dims to be (8,128)-tiled or full, so the per-(batch, kv-head) grid must index the
+head axis OUTSIDE the trailing ``[seq, head_dim]`` tile. ``split_cache`` pays the
+transpose once at prefill→decode handoff; per-step writes are a singleton swap.
 
 Why: profiling the monolithic-cache beam loop on TPU showed ~45% of the 5.3 ms step was
 attention waste — XLA lowers the Tq=1 QK^T/AV contractions to fp32 VPU multiply-reduce
@@ -42,8 +48,8 @@ from projectiontrainer_tpu.ops.attention import NEG_INF
 
 def _shapes(q, kp, kg):
     r, hq, d = q.shape
-    b, p, hkv, _ = kp.shape
-    g = kg.shape[1]
+    b, hkv, p, _ = kp.shape
+    g = kg.shape[2]
     if r % b:
         raise ValueError(f"rows {r} not a multiple of batch {b}")
     nb = r // b
@@ -70,13 +76,18 @@ def pallas_decode_supported(q, kp, kg) -> bool:
 
 def _xla_decode_attention(q, kp, vp, kg, vg, prefix_mask, t, prefix_len, scale, window):
     r, hq, d, b, p, hkv, g, nb, n_rep = _shapes(q, kp, kg)
+    out_dtype = q.dtype
+    if q.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # XLA:CPU's dot runtime rejects bf16 x bf16 -> f32 for the head-major
+        # batched contractions below; upcast there (the CPU path is tests-only)
+        q, kp, vp, kg, vg = (x.astype(jnp.float32) for x in (q, kp, vp, kg, vg))
     q5 = q.reshape(b, nb, hkv, n_rep, d)
-    kg5 = kg.reshape(b, nb, g, hkv, d)
-    vg5 = vg.reshape(b, nb, g, hkv, d)
+    kg5 = kg.reshape(b, nb, hkv, g, d)
+    vg5 = vg.reshape(b, nb, hkv, g, d)
 
-    sp = jnp.einsum("bnkrd,bpkd->bnkrp", q5, kp,
+    sp = jnp.einsum("bnkrd,bkpd->bnkrp", q5, kp,
                     preferred_element_type=jnp.float32) * scale
-    sg = jnp.einsum("bnkrd,bngkd->bnkrg", q5, kg5,
+    sg = jnp.einsum("bnkrd,bnkgd->bnkrg", q5, kg5,
                     preferred_element_type=jnp.float32) * scale
 
     pidx = jnp.arange(p)
@@ -93,10 +104,10 @@ def _xla_decode_attention(q, kp, vp, kg, vg, prefix_mask, t, prefix_len, scale, 
     s = jnp.concatenate([sp, sg], axis=-1)
     probs = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     pp, pg = probs[..., :p], probs[..., p:]
-    out = jnp.einsum("bnkrp,bpkd->bnkrd", pp, vp, preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("bnkrg,bngkd->bnkrd", pg, vg5,
+    out = jnp.einsum("bnkrp,bkpd->bnkrd", pp, vp, preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bnkrg,bnkgd->bnkrd", pg, vg5,
                            preferred_element_type=jnp.float32)
-    return out.astype(q.dtype).reshape(r, hq, d)
+    return out.astype(out_dtype).reshape(r, hq, d)
 
 
 # ---------------------------------------------------------------------------- kernel
@@ -109,14 +120,14 @@ def _decode_kernel(s_ref, q_ref, kp_ref, vp_ref, kg_ref, vg_ref, pm_ref, o_ref, 
     m = nb * n_rep
 
     q = q_ref[0, :, 0, :, :].reshape(m, d)
-    kp = kp_ref[0, :, 0, :]  # [P_pad, D]
+    kp = kp_ref[0, 0]  # [P_pad, D]
 
     # all beams × all heads of this kv group against the shared prefix: one MXU pass
     sp = jax.lax.dot_general(
         q, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [M, P_pad]
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad), 1)
-    validp = pm_ref[0, :][None, :] > 0
+    validp = pm_ref[0, 0, :][None, :] > 0
     if window is not None:
         validp &= pidx > q_slot - window
     sp = jnp.where(validp, sp, NEG_INF)
@@ -128,7 +139,7 @@ def _decode_kernel(s_ref, q_ref, kp_ref, vp_ref, kg_ref, vg_ref, pm_ref, o_ref, 
     sgs = []
     for bm in range(nb):  # static: each beam against its own generated keys
         qb = q_ref[0, bm, 0, :, :]  # [n_rep, D]
-        kgb = kg_ref[0, bm, :, 0, :]  # [G_pad, D]
+        kgb = kg_ref[0, bm, 0]  # [G_pad, D]
         sg = jax.lax.dot_general(
             qb, kgb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -140,14 +151,14 @@ def _decode_kernel(s_ref, q_ref, kp_ref, vp_ref, kg_ref, vg_ref, pm_ref, o_ref, 
     e = jnp.exp(s - mx)
     probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
 
-    vp = vp_ref[0, :, 0, :]
+    vp = vp_ref[0, 0]
     out_p = jax.lax.dot_general(
         probs[:, :p_pad], vp, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [M, D]
     rows = []
     for bm in range(nb):
-        vgb = vg_ref[0, bm, :, 0, :]
+        vgb = vg_ref[0, bm, 0]
         og = jax.lax.dot_general(
             probs[bm * n_rep:(bm + 1) * n_rep, p_pad:], vgb,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -160,10 +171,15 @@ def _decode_kernel(s_ref, q_ref, kp_ref, vp_ref, kg_ref, vg_ref, pm_ref, o_ref, 
 def _pallas_decode_attention(q, kp, vp, kg, vg, prefix_mask, t, prefix_len, scale,
                              window, interpret=False):
     r, hq, d, b, p, hkv, g, nb, n_rep = _shapes(q, kp, kg)
+    out_dtype = q.dtype
+    if interpret:
+        # interpret mode executes the kernel body on the host platform, whose dot
+        # runtime rejects bf16 operands (same limit as the CPU fallback)
+        q, kp, vp, kg, vg = (x.astype(jnp.float32) for x in (q, kp, vp, kg, vg))
     q5 = q.reshape(b, nb, hkv, n_rep, d)
-    kg5 = kg.reshape(b, nb, g, hkv, d)
-    vg5 = vg.reshape(b, nb, g, hkv, d)
-    pm = prefix_mask.astype(jnp.int32)
+    kg5 = kg.reshape(b, nb, hkv, g, d)
+    vg5 = vg.reshape(b, nb, hkv, g, d)
+    pm = prefix_mask.astype(jnp.int32).reshape(b, 1, p)
     t = jnp.asarray(t, jnp.int32)
     scalars = jnp.stack([t, prefix_len + t])
 
@@ -171,20 +187,22 @@ def _pallas_decode_attention(q, kp, vp, kg, vg, prefix_mask, t, prefix_len, scal
         _decode_kernel, scale=scale, window=window, nb=nb, n_rep=n_rep, d=d,
         p_pad=p, g_pad=g,
     )
+    # Mosaic legality: every block's trailing two dims are the FULL array dims —
+    # the (batch, kv-head) grid indexes only leading axes (head-major cache layout).
     out = pl.pallas_call(
         kernel,
         grid=(b, hkv),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nb, 1, n_rep, d), lambda bi, hi: (bi, 0, hi, 0, 0)),
-            pl.BlockSpec((1, p, 1, d), lambda bi, hi: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, p, 1, d), lambda bi, hi: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, nb, g, 1, d), lambda bi, hi: (bi, 0, 0, hi, 0)),
-            pl.BlockSpec((1, nb, g, 1, d), lambda bi, hi: (bi, 0, 0, hi, 0)),
-            pl.BlockSpec((1, p), lambda bi, hi: (bi, 0)),
+            pl.BlockSpec((1, 1, p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, p, d), lambda bi, hi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, nb, 1, g, d), lambda bi, hi: (bi, 0, hi, 0, 0)),
+            pl.BlockSpec((1, nb, 1, g, d), lambda bi, hi: (bi, 0, hi, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda bi, hi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb, 1, n_rep, d), lambda bi, hi: (bi, 0, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, nb, hkv, n_rep, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nb, hkv, n_rep, d), out_dtype),
         interpret=interpret,
     )(scalars, q5, kp, vp, kg5, vg5, pm)
     return out.reshape(r, hq, d)
@@ -195,8 +213,8 @@ def _pallas_decode_attention(q, kp, vp, kg, vg, prefix_mask, t, prefix_len, scal
 
 def decode_attention(
     q,             # [R, Hq, D] — this step's queries, R = B * beams rows
-    kp, vp,        # [B, P, Hkv, D] — shared prefix cache (P padded to 128 on TPU)
-    kg, vg,        # [R, G, Hkv, D] — per-row generated cache, slot t just written
+    kp, vp,        # [B, Hkv, P, D] — shared prefix cache (P padded to 128 on TPU)
+    kg, vg,        # [R, Hkv, G, D] — per-row generated cache, slot t just written
     *,
     prefix_mask,   # [B, P] bool/int — prefix padding mask
     t,             # scalar int32 — 0-based generation step (gen keys j <= t live)

@@ -23,11 +23,12 @@ def make_case(b=2, nb=3, p=160, g=96, hq=4, hkv=2, d=64, t=37, window=None,
               dtype=np.float32, seed=0):
     rng = np.random.default_rng(seed)
     r = b * nb
+    # caches are head-major: [B, Hkv, P, D] prefix, [R, Hkv, G, D] generated
     q = rng.normal(size=(r, hq, d)).astype(dtype)
-    kp = rng.normal(size=(b, p, hkv, d)).astype(dtype)
-    vp = rng.normal(size=(b, p, hkv, d)).astype(dtype)
-    kg = rng.normal(size=(r, g, hkv, d)).astype(dtype)
-    vg = rng.normal(size=(r, g, hkv, d)).astype(dtype)
+    kp = rng.normal(size=(b, hkv, p, d)).astype(dtype)
+    vp = rng.normal(size=(b, hkv, p, d)).astype(dtype)
+    kg = rng.normal(size=(r, hkv, g, d)).astype(dtype)
+    vg = rng.normal(size=(r, hkv, g, d)).astype(dtype)
     # left-padded prefix mask with ragged per-sample pad counts
     pm = np.ones((b, p), np.int32)
     for i in range(b):
@@ -40,6 +41,9 @@ def reference(case, scale):
     """Monolithic-cache decode step via dot_product_attention + explicit mask."""
     q, kp, vp, kg, vg = (jnp.asarray(case[k], jnp.float32)
                          for k in ("q", "kp", "vp", "kg", "vg"))
+    # back to the monolithic seq-major layout [*, T, hkv, d] for the reference
+    kp, vp = jnp.swapaxes(kp, 1, 2), jnp.swapaxes(vp, 1, 2)
+    kg, vg = jnp.swapaxes(kg, 1, 2), jnp.swapaxes(vg, 1, 2)
     b, p = case["prefix_mask"].shape
     r, g = kg.shape[0], kg.shape[1]
     nb = r // b
