@@ -573,7 +573,7 @@ def _run_pipeline(steps_n: int, out_size: int = 384):
     }
 
 
-def _build_stage0(batch: int, remat=False):
+def _build_stage0(batch: int, remat=False, ln: str = "xla"):
     """Stage-0 setup at the reference's production config: so400m-patch16-512 shape
     (27 layers, hidden 1152, 512px -> 1024 patches), text tower + logit_scale frozen,
     bf16 compute with fp32 vision masters. Returns (cfg, step, state, batch_data)."""
@@ -590,12 +590,14 @@ def _build_stage0(batch: int, remat=False):
     cfg = siglip.SiglipConfig(
         # flash attention with the D=72 zero-pad path: the XLA path materializes
         # ~1 GB/layer of fp32 scores at 1025 patches (measured 179ms vision fwd)
-        vision=dataclasses.replace(siglip.so400m_16_512(), attn_impl=attn),
+        vision=dataclasses.replace(siglip.so400m_16_512(), attn_impl=attn,
+                                   norm_impl=ln),
         # siglip2-so400m text tower: same width/depth as vision, 256k multilingual
         # vocab, 64 positions
         text=siglip.TextConfig(hidden_size=1152, intermediate_size=4304, num_layers=27,
                                num_heads=16, vocab_size=256_000,
-                               max_position_embeddings=64, attn_impl=attn),
+                               max_position_embeddings=64, attn_impl=attn,
+                               norm_impl=ln),
     )
     rng = jax.random.key(0)
     kv, kt = jax.random.split(rng)
@@ -629,12 +631,12 @@ def _build_stage0(batch: int, remat=False):
 
 
 def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int = 3,
-                dispatch: str = "loop", spacing: float = 0.0):
+                dispatch: str = "loop", spacing: float = 0.0, ln: str = "xla"):
     """Stage-0 SigLIP contrastive fine-tune throughput at the reference's production
     config (Stage0/run_train_vision_encoder_stage0.sh:13-48), per-device batch 16."""
     import jax
 
-    cfg, step, state, batch_data = _build_stage0(batch, remat=remat)
+    cfg, step, state, batch_data = _build_stage0(batch, remat=remat, ln=ln)
     flops = _step_flops(step, state, batch_data, jax.random.key(0))
     for i in range(warmup):
         state, loss, _ = step(state, batch_data, jax.random.key(i))
@@ -651,7 +653,7 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
         "value": round(batch / step_s / n_chips, 3),
         "unit": "images/sec/chip",
         "mfu": round(mfu, 4),
-        "extra": (f"batch={batch} so400m-16-512 step={step_s * 1e3:.0f}ms "
+        "extra": (f"batch={batch} so400m-16-512 ln={ln} step={step_s * 1e3:.0f}ms "
                   f"mfu={mfu:.1%} loss={float(loss):.4f} remat={remat} "
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"(frozen text tower, bf16 compute / fp32 vision masters)"),
@@ -1210,6 +1212,11 @@ def main(argv=None):
                              "Per-mode defaults when omitted: stage1 'none' (measured "
                              "fastest at batch 8 on v5e: 22.8 img/s vs 21.4 'dots'), "
                              "stage0 'none'")
+    parser.add_argument("--ln", choices=["xla", "fused"], default=None,
+                        help="stage0: LayerNorm implementation (fused = Pallas "
+                             "fwd+bwd kernel, ops/fused_layernorm.py). Default: "
+                             "fused on TPU — the hf_import auto choice; measured "
+                             "480 -> 473ms on the so400m step, loss unchanged")
     parser.add_argument("--img_size", type=int, default=384,
                         help="pipeline mode: output image size (stage-0 uses 512)")
     parser.add_argument("--gen_max_new", type=int, default=1024)
@@ -1266,7 +1273,8 @@ def main(argv=None):
             result = _run_stage0(16 if args.batch == 8 else args.batch,
                                  args.steps, args.warmup, remat=remat0,
                                  windows=args.windows, dispatch=args.dispatch,
-                                 spacing=args.window_spacing)
+                                 spacing=args.window_spacing,
+                                 ln=args.ln or ("fused" if jax.default_backend() == "tpu" else "xla"))
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps, out_size=args.img_size)
         elif args.mode == "gen":

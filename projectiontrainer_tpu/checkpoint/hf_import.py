@@ -72,7 +72,9 @@ def _auto_attn_impl(attn_impl):
 
 def load_siglip(model_dir: str, *, attn_impl: str | None = None):
     """Local SigLIP snapshot -> (SiglipConfig, params). ``attn_impl`` None = auto
-    (Pallas flash on TPU)."""
+    (Pallas flash on TPU). The fused Pallas LayerNorm rides the same auto choice —
+    'flash' towers also get norm_impl='fused' (ops/fused_layernorm.py gates itself
+    to single-device TPU per call, so multi-chip meshes transparently use XLA LN)."""
     import dataclasses
 
     from transformers import SiglipConfig as HFSiglipConfig
@@ -82,9 +84,10 @@ def load_siglip(model_dir: str, *, attn_impl: str | None = None):
     hf_cfg = HFSiglipConfig.from_pretrained(model_dir)
     cfg = siglip.from_hf_config(hf_cfg)
     impl = _auto_attn_impl(attn_impl)
+    norm = "fused" if impl == "flash" else "xla"
     cfg = siglip.SiglipConfig(
-        vision=dataclasses.replace(cfg.vision, attn_impl=impl),
-        text=dataclasses.replace(cfg.text, attn_impl=impl),
+        vision=dataclasses.replace(cfg.vision, attn_impl=impl, norm_impl=norm),
+        text=dataclasses.replace(cfg.text, attn_impl=impl, norm_impl=norm),
     )
     sd = load_state_dict(model_dir)
     return cfg, siglip.params_from_hf_state_dict(cfg, sd)

@@ -37,6 +37,7 @@ class TowerConfig:
     num_heads: int
     layer_norm_eps: float = 1e-6
     attn_impl: str = "xla"
+    norm_impl: str = "xla"                     # 'xla' | 'fused' (Pallas LN, TPU-only)
 
     @property
     def head_dim(self) -> int:
@@ -175,16 +176,24 @@ def init(key, cfg: SiglipConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------- forward
 
 
+def _ln(p, cfg: TowerConfig, x):
+    if cfg.norm_impl == "fused":
+        from projectiontrainer_tpu.ops import fused_layernorm as FLN
+
+        return FLN.layernorm(p, x, eps=cfg.layer_norm_eps)
+    return L.layernorm(p, x, eps=cfg.layer_norm_eps)
+
+
 def _encoder_layer(p, cfg: TowerConfig, x, kv_mask=None):
     b, t, d = x.shape
-    h = L.layernorm(p["ln1"], x, eps=cfg.layer_norm_eps)
+    h = _ln(p["ln1"], cfg, x)
     q = L.linear(p["attn"]["q_proj"], h).reshape(b, t, cfg.num_heads, cfg.head_dim)
     k = L.linear(p["attn"]["k_proj"], h).reshape(b, t, cfg.num_heads, cfg.head_dim)
     v = L.linear(p["attn"]["v_proj"], h).reshape(b, t, cfg.num_heads, cfg.head_dim)
     attn = dot_product_attention(q, k, v, causal=False, kv_mask=kv_mask, impl=cfg.attn_impl)
     h = L.linear(p["attn"]["out_proj"], attn.reshape(b, t, d))
     x = x + h
-    h = L.layernorm(p["ln2"], x, eps=cfg.layer_norm_eps)
+    h = _ln(p["ln2"], cfg, x)
     h = L.linear(p["mlp"]["fc2"], L.gelu(L.linear(p["mlp"]["fc1"], h), approximate=True))
     return x + h
 
@@ -199,7 +208,7 @@ def _map_head(p, cfg: VisionConfig, x):
     attn = dot_product_attention(q, k, v, causal=False, impl=cfg.attn_impl)
     h = L.linear(p["attention"]["out_proj"], attn.reshape(b, 1, d))
     residual = h
-    h = L.layernorm(p["layernorm"], h, eps=cfg.layer_norm_eps)
+    h = _ln(p["layernorm"], cfg, h)
     h = L.linear(p["mlp"]["fc2"], L.gelu(L.linear(p["mlp"]["fc1"], h), approximate=True))
     return (residual + h)[:, 0]
 
@@ -225,7 +234,7 @@ def vision_forward(params, cfg: VisionConfig, pixel_values, *, remat: bool = Fal
     ckpt_layer = jax.checkpoint(_encoder_layer, static_argnums=(1,), policy=policy)
     for i, lp in enumerate(params["layers"]):
         x = (ckpt_layer if i < n_remat else _encoder_layer)(lp, cfg, x)
-    x = L.layernorm(params["post_layernorm"], x, eps=cfg.layer_norm_eps)
+    x = _ln(params["post_layernorm"], cfg, x)
     pooled = _map_head(params["head"], cfg, x) if "head" in params else None
     return x, pooled
 
@@ -247,7 +256,7 @@ def text_forward(params, cfg: TextConfig, input_ids):
     x = x + params["position_embedding"]["embedding"][None, :t].astype(x.dtype)
     for lp in params["layers"]:
         x = _encoder_layer(lp, cfg, x)
-    x = L.layernorm(params["final_layer_norm"], x, eps=cfg.layer_norm_eps)
+    x = _ln(params["final_layer_norm"], cfg, x)
     pooled = L.linear(params["head"], x[:, -1, :])
     return x, pooled
 

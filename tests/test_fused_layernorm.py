@@ -1,0 +1,84 @@
+"""Fused Pallas LayerNorm vs the XLA reference (ops/layers.py layernorm).
+
+Forward and full gradient parity (dx, dscale, dbias) in interpret mode, including a
+row count that leaves a ragged final grid block — the parameter-gradient accumulation
+must mask the padded rows.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from projectiontrainer_tpu.ops import layers as L
+from projectiontrainer_tpu.ops.fused_layernorm import (
+    _fused_ln,
+    fused_layernorm_supported,
+)
+
+
+def _case(rows, d, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(rows, d)) * 2.0 + 0.3, dtype)
+    scale = jnp.asarray(rng.normal(size=(d,)) * 0.5 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+    return x, scale, bias, g
+
+
+@pytest.mark.parametrize("rows,d", [(64, 256), (1032, 128), (520, 384)])
+def test_fwd_bwd_parity(rows, d):
+    # 1032 and 520 rows leave ragged final blocks at the 512-row grid
+    x, scale, bias, g = _case(rows, d, jnp.float32)
+
+    def ref_loss(x, scale, bias):
+        y = L.layernorm({"scale": scale, "bias": bias}, x, eps=1e-6)
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    def fused_loss(x, scale, bias):
+        y = _fused_ln(x, scale, bias, 1e-6, True)  # interpret=True
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    ref_out = L.layernorm({"scale": scale, "bias": bias}, x, eps=1e-6)
+    fused_out = _fused_ln(x, scale, bias, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(fused_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+
+    ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(x, scale, bias)
+    fused_grads = jax.grad(fused_loss, argnums=(0, 1, 2))(x, scale, bias)
+    for rg, fg, name in zip(ref_grads, fused_grads, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(fg), np.asarray(rg), rtol=2e-4,
+                                   atol=2e-4, err_msg=name)
+
+
+def test_bf16_fwd_parity():
+    x, scale, bias, _ = _case(256, 256, jnp.bfloat16)
+    ref = L.layernorm({"scale": scale, "bias": bias}, x, eps=1e-6)
+    fused = _fused_ln(x, scale, bias, 1e-6, True)
+    assert fused.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_gate():
+    # CPU backend → unsupported (falls back to XLA path in models)
+    assert not fused_layernorm_supported(jnp.zeros((64, 256), jnp.bfloat16))
+
+
+def test_model_flag_cpu_fallback():
+    """norm_impl='fused' on CPU must route through the XLA fallback unchanged."""
+    from projectiontrainer_tpu.models import siglip
+
+    cfg = siglip.VisionConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                              num_heads=4, image_size=32, patch_size=8,
+                              norm_impl="fused")
+    params = siglip.init_vision(jax.random.key(0), cfg)
+    pix = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                      jnp.float32)
+    hidden, pooled = siglip.vision_forward(params, cfg, pix)
+    ref_cfg = siglip.VisionConfig(hidden_size=32, intermediate_size=64, num_layers=2,
+                                  num_heads=4, image_size=32, patch_size=8)
+    ref_hidden, _ = siglip.vision_forward(params, ref_cfg, pix)
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref_hidden), rtol=1e-6)
+    assert np.isfinite(np.asarray(pooled)).all()
