@@ -887,7 +887,8 @@ def _init_full_params(cfg, *, quantize=False, quant_method="int8"):
 
 def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
                 quant_method: str = "int8", lora_dropout: float | None = None,
-                windows: int = 3, dispatch: str = "loop", spacing: float = 0.0):
+                windows: int = 3, dispatch: str = "loop", spacing: float = 0.0,
+                remat=True):
     """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
     import time
 
@@ -908,7 +909,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     tx, _ = optim.single_group_optimizer(
         labels, 1e-5, total_steps=1000, clip_norm=1.0, clip_per_module=True
     )
-    loss_fn = steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=True, logits_chunk=256,
+    loss_fn = steps.stage2_loss(cfg, 0, lora_cfg=lcfg, remat=remat, logits_chunk=256,
                                 compute_dtype=jnp.bfloat16)
     step = steps.make_train_step(
         loss_fn, tx, donate=True, trainable_mask=masks.bool_mask(labels)
@@ -956,7 +957,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
         "value": round(total_tokens / elapsed, 1),
         "unit": "tokens/sec",
         "mfu": round(mfu, 4),
-        "extra": (f"model={model} quant={quant_method} batch={batch} "
+        "extra": (f"model={model} quant={quant_method} batch={batch} remat={remat} "
                   f"loss={float(loss):.3f} step={elapsed / steps_n * 1e3:.0f}ms "
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"mfu={mfu:.1%} eval_step={eval_ms:.0f}ms (memory-safe CE, no OOM)"),
@@ -1211,7 +1212,7 @@ def main(argv=None):
                              "checkpoint the first N vision layers — partial remat). "
                              "Per-mode defaults when omitted: stage1 'none' (measured "
                              "fastest at batch 8 on v5e: 22.8 img/s vs 21.4 'dots'), "
-                             "stage0 'none'")
+                             "stage0 'none', stage2/stage2-8b 'full'")
     parser.add_argument("--ln", choices=["xla", "fused"], default=None,
                         help="stage0: LayerNorm implementation (fused = Pallas "
                              "fwd+bwd kernel, ops/fused_layernorm.py). Default: "
@@ -1290,7 +1291,13 @@ def main(argv=None):
                                  quant_method=args.quant or "int8",
                                  lora_dropout=args.lora_dropout,
                                  windows=args.windows, dispatch=args.dispatch,
-                                 spacing=args.window_spacing)
+                                 spacing=args.window_spacing,
+                                 # 1B fits without remat (347 vs 439ms, +27% tok/s);
+                                 # the 8B OOMs un-remated and keeps 'full'
+                                 remat=_parse_remat(
+                                     args.remat,
+                                     default=model == "qwen3-8b",
+                                     allow_int=False))
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))
