@@ -105,6 +105,12 @@ class Stage2Config(CommonConfig):
     lora_alpha: int = 32
     lora_dropout: float = 0.05
     grad_clip: float = 1.0
+    # activation rematerialization of the decoder train step. The reference always
+    # enables gradient checkpointing (Stage2/train_vqa_stage2.py:252-268), so 'full'
+    # is the parity default; 'none' is the measured 1B operating point on v5e
+    # (step 439 -> 347 ms, +27% tokens/sec — BENCH_EXTRA_r05) and fits HBM for
+    # <=2B-class models at the reference batch sizes; 'dots' saves matmul outputs.
+    remat: str = "full"              # 'full' | 'dots' | 'none'
     num_epochs: int = 5
     batch_size: int = 1
     warmup_ratio: float = 0.05

@@ -95,9 +95,12 @@ class Stage2Trainer:
         # runs qualify for the Pallas fused-CE kernel (ops/fused_ce.py contract)
         table_frozen = not self.base_policy.train_llm
         cdtype = common.compute_dtype_from_config(cfg)
+        remat = {"full": True, "dots": "dots", "none": False}[
+            getattr(cfg, "remat", "full")]
         loss_fn = steps.stage2_loss(
             vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk,
             table_frozen=table_frozen, compute_dtype=cdtype, mesh=self.mesh,
+            remat=remat,
         )
         self._loss_fn = loss_fn
         # two step variants when the VE trains only on epoch 0
