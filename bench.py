@@ -1212,7 +1212,8 @@ def main(argv=None):
                              "checkpoint the first N vision layers — partial remat). "
                              "Per-mode defaults when omitted: stage1 'none' (measured "
                              "fastest at batch 8 on v5e: 22.8 img/s vs 21.4 'dots'), "
-                             "stage0 'none', stage2/stage2-8b 'full'")
+                             "stage0 'none', stage2 'none' (1B fits HBM un-remated: "
+                             "347 vs 439 ms), stage2-8b 'full' (OOMs otherwise)")
     parser.add_argument("--ln", choices=["xla", "fused"], default=None,
                         help="stage0: LayerNorm implementation (fused = Pallas "
                              "fwd+bwd kernel, ops/fused_layernorm.py). Default: "

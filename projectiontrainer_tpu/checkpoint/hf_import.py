@@ -70,11 +70,14 @@ def _auto_attn_impl(attn_impl):
     return "flash" if jax.default_backend() == "tpu" else "xla"
 
 
-def load_siglip(model_dir: str, *, attn_impl: str | None = None):
+def load_siglip(model_dir: str, *, attn_impl: str | None = None,
+                norm_impl: str | None = None):
     """Local SigLIP snapshot -> (SiglipConfig, params). ``attn_impl`` None = auto
-    (Pallas flash on TPU). The fused Pallas LayerNorm rides the same auto choice —
-    'flash' towers also get norm_impl='fused' (ops/fused_layernorm.py gates itself
-    to single-device TPU per call, so multi-chip meshes transparently use XLA LN)."""
+    (Pallas flash on TPU). ``norm_impl`` None = auto: 'fused' Pallas LayerNorm on
+    TPU, 'xla' elsewhere — independent of the attention choice, so attn_impl='xla'
+    keeps the fused LN and norm_impl='xla' opts out of it while keeping flash
+    (ops/fused_layernorm.py gates itself to single-device TPU per call, so
+    multi-chip meshes transparently use XLA LN either way)."""
     import dataclasses
 
     from transformers import SiglipConfig as HFSiglipConfig
@@ -84,7 +87,12 @@ def load_siglip(model_dir: str, *, attn_impl: str | None = None):
     hf_cfg = HFSiglipConfig.from_pretrained(model_dir)
     cfg = siglip.from_hf_config(hf_cfg)
     impl = _auto_attn_impl(attn_impl)
-    norm = "fused" if impl == "flash" else "xla"
+    if norm_impl is None:
+        import jax
+
+        norm = "fused" if jax.default_backend() == "tpu" else "xla"
+    else:
+        norm = norm_impl
     cfg = siglip.SiglipConfig(
         vision=dataclasses.replace(cfg.vision, attn_impl=impl, norm_impl=norm),
         text=dataclasses.replace(cfg.text, attn_impl=impl, norm_impl=norm),

@@ -157,10 +157,37 @@ class CheckpointManager:
 
     def restore(self, name: str, template) -> Any:
         """Restore into the structure/shardings of ``template`` (an abstract or concrete
-        state pytree)."""
+        state pytree).
+
+        Leaves without a mesh sharding (scalar optimizer counters created eagerly by
+        ``tx.init`` sit on a SingleDeviceSharding) are coerced to REPLICATED over the
+        mesh inferred from the template's sharded leaves: Orbax restores committed to
+        the template's devices, and a state mixing single-device counters with
+        mesh-sharded params is rejected by the next jitted train step
+        ("incompatible devices") — a restore-only crash that never shows on one
+        device and would kill a multi-chip resume."""
         self.wait()  # the target may be the save still in flight
         path = os.path.join(self.directory, name)
-        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = None
+        for leaf in jax.tree_util.tree_leaves(template):
+            s = getattr(leaf, "sharding", None)
+            if isinstance(s, NamedSharding) and s.mesh.size > 1:
+                mesh = s.mesh
+                break
+
+        def to_struct(leaf):
+            s = ocp.utils.to_shape_dtype_struct(leaf)
+            if mesh is not None and not isinstance(
+                getattr(leaf, "sharding", None), NamedSharding
+            ):
+                s = jax.ShapeDtypeStruct(
+                    s.shape, s.dtype, sharding=NamedSharding(mesh, PartitionSpec())
+                )
+            return s
+
+        template = jax.tree.map(to_struct, template)
         return self._ckptr.restore(path, template)
 
     def restore_params(self, name: str, params_template=None) -> Any:

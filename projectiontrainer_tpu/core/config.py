@@ -39,6 +39,13 @@ class CommonConfig:
     num_loader_procs: int = 0
     mesh_data: int = -1
     mesh_model: int = 1
+    # ZeRO-3/FSDP layout: shard every large param (and, via zeros_like inheritance,
+    # its fp32 Adam moments) over the data axis in addition to any TP axis; grads
+    # reduce-scatter and updates stay shard-local (parallel/sharding.py). Required
+    # when full-fine-tune optimizer state exceeds one chip (Gemma3-4B full-joint
+    # stage-2: ~48 GB fp32 Adam vs 16 GB v5e HBM — BASELINE config #4); a no-op on
+    # a single chip or when mesh_data == 1.
+    fsdp: bool = False
     mixed_precision: str = "bf16"
     wandb_project: Optional[str] = None
     wandb_run_name: Optional[str] = None
@@ -71,9 +78,11 @@ class Stage1Config(CommonConfig):
     train_val_split: float = 0.0
     max_caption_len: int = 512
     save_every_n_epochs: int = 2
-    enable_qlora: bool = False       # base-LLM quantized load (nf4 by default)
-    quant_method: str = "nf4"        # 'nf4' (reference bitsandbytes format) | 'int8'
-                                     # | 'nf4-mirror' (NF4 grid, block-int8 compute)
+    enable_qlora: bool = False       # base-LLM quantized load (nf4-mirror by default)
+    # 'nf4-mirror' (default: NF4 grid, LUT-free block-int8 compute — proven loss/grad
+    # parity at production width, tests/test_parity_production_width.py) | 'nf4'
+    # (exact bitsandbytes LUT path, 1.3-3.6x slower) | 'int8' (fastest, 8-bit grid)
+    quant_method: str = "nf4-mirror"
     expansion_factor: int = 10
     # wandb.watch equivalent: per-parameter projector gradient norms + histograms
     # every watch_log_freq steps (reference: train_projection_stage1.py:359-370,
@@ -95,8 +104,10 @@ class Stage2Config(CommonConfig):
     max_q_len: int = 128
     max_a_len: int = 512
     enable_qlora: bool = False
-    quant_method: str = "nf4"        # 'nf4' (reference format) | 'int8' (faster step)
-                                     # | 'nf4-mirror' (NF4 grid, block-int8 compute)
+    # 'nf4-mirror' (default — NF4 grid with block-int8 compute: same 4-bit fidelity
+    # family as the reference's bitsandbytes NF4, which is itself an approximation;
+    # production-width loss/grad parity proven) | 'nf4' (exact LUT, slower) | 'int8'
+    quant_method: str = "nf4-mirror"
     unfreeze_projection_layer: bool = False
     unfreeze_llm: bool = False
     train_ve_first_epoch: bool = False

@@ -17,6 +17,19 @@ def mesh_from_config(cfg: CommonConfig):
     return build_mesh(MeshConfig(data=cfg.mesh_data, model=cfg.mesh_model))
 
 
+def place_params(params, mesh, cfg: CommonConfig):
+    """Shard params per the config's layout and return ``(params, shardings)``.
+
+    ``shardings`` is the NamedSharding pytree to pass to ``make_train_step`` —
+    ``None`` for the plain DP/TP layout (GSPMD infers it), the explicit tree under
+    ``--fsdp`` so the step pins reduce-scattered grads + shard-local updates."""
+    from projectiontrainer_tpu.parallel import param_shardings, shard_params
+
+    fsdp = bool(getattr(cfg, "fsdp", False))
+    placed = shard_params(params, mesh, fsdp=fsdp)
+    return placed, (param_shardings(params, mesh, fsdp=True) if fsdp else None)
+
+
 def compute_dtype_from_config(cfg: CommonConfig):
     """``--mixed_precision {bf16,fp16,no}`` -> the compute dtype the loss casts params
     to (reference: accelerate --mixed_precision, e.g. Stage2/run_vqa_train_stage2.sh:73).

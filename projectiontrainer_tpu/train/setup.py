@@ -38,17 +38,18 @@ def build_vlm(
     param_dtype=jnp.float32,
     frozen_dtype=jnp.bfloat16,
     quantize_llm: bool = False,
-    quant_method: str = "nf4",
+    quant_method: str = "nf4-mirror",
 ):
     """Assemble (VLMConfig, params) from local snapshots. ``frozen_dtype`` stores the
     pretrained towers in bf16 (half the HBM; they are frozen in Stage 1 and under LoRA)
     while trainable-by-default parts stay in ``param_dtype``. ``quantize_llm`` applies
     weight-only quantization to the decoder projections — the ``--enable_qlora``
-    base-weight path. ``quant_method``: 'nf4' (block-wise 4-bit, the reference's
-    bitsandbytes format — Stage2/train_vqa_stage2.py:171-177), 'nf4-mirror' (the same
-    NF4 value grid re-encoded once as block-int8 for LUT-free compute: 15x faster
-    decode, +60%% training GEMM, <=0.4%% value perturbation — ops/quant.py), or 'int8'
-    (2x memory of nf4, per-channel scales, cheapest dequant)."""
+    base-weight path. ``quant_method``: 'nf4-mirror' (default: the reference's NF4
+    value grid — Stage2/train_vqa_stage2.py:171-177 — re-encoded once as block-int8
+    for LUT-free compute: 15x faster decode, +60%% training GEMM, <=0.4%% value
+    perturbation, production-width loss/grad parity proven in
+    tests/test_parity_production_width.py), 'nf4' (exact bitsandbytes LUT layout),
+    or 'int8' (2x memory of nf4, per-channel scales, cheapest dequant)."""
     for path in (vision_model_name, llm_name):
         if not os.path.isdir(path):
             raise FileNotFoundError(

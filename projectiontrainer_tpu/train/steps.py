@@ -78,7 +78,7 @@ def _zero_grad_like(x):
 
 
 def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mask=None,
-                    watch_subtree: Optional[str] = None):
+                    watch_subtree: Optional[str] = None, param_shardings=None):
     """loss_fn(params, batch, rng) -> (loss, aux). Returns jitted
     step(state, batch, rng) -> (state, loss, aux).
 
@@ -92,7 +92,20 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
     histogram logging that mirrors the reference's ``wandb.watch(projector)``
     (Stage1/train_projection_stage1.py:359-370). Host transfer happens only when the
     trainer actually reads it at a logging boundary.
+
+    ``param_shardings`` (NamedSharding pytree matching params): pins gradients AND
+    updated params to the params' layout via ``with_sharding_constraint``. Under an
+    FSDP layout (parallel.sharding ``fsdp=True``) this is what turns the cross-data
+    gradient combine into a REDUCE-SCATTER to each leaf's shard (ZeRO-2/3) instead of
+    a full all-reduce of replicated grads, and keeps the optimizer update + Adam
+    moments shard-local. Pure-DP/TP layouts are unaffected (the constraint restates
+    what GSPMD already infers).
     """
+
+    def constrain(tree):
+        if param_shardings is None:
+            return tree
+        return jax.tree.map(jax.lax.with_sharding_constraint, tree, param_shardings)
 
     def step(state, batch, rng):
         params = state["params"]
@@ -125,8 +138,9 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
             ]
             grads = jax.tree_util.tree_unflatten(treedef, grads_flat)
 
+        grads = constrain(grads)
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params = constrain(optax.apply_updates(state["params"], updates))
         aux = {**aux, "grad_norm": grad_norm}
         if watch_subtree is not None:
             aux["watched_grads"] = grads[watch_subtree]

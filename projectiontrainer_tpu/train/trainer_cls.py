@@ -24,7 +24,6 @@ from projectiontrainer_tpu.checkpoint import CheckpointManager
 from projectiontrainer_tpu.core.config import ClsConfig
 from projectiontrainer_tpu.eval import metrics as M
 from projectiontrainer_tpu.models import classifier as cls_model
-from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
 from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
@@ -50,7 +49,7 @@ class ClsTrainer:
             len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.epochs
         )
 
-        params = shard_params(params, self.mesh)
+        params, param_shardings = common.place_params(params, self.mesh, cfg)
         self._steps = {}
         for frozen in {True, False} if cfg.freeze_mode == "1EpochUnfreeze" else {cfg.freeze_mode == "Freeze"}:
             labels = masks.classifier_labels(params, freeze_vision=frozen)
@@ -65,7 +64,8 @@ class ClsTrainer:
             )
             self._steps[frozen] = (
                 steps.make_train_step(
-                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels)
+                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels),
+                    param_shardings=param_shardings,
                 ),
                 tx, schedule,
             )

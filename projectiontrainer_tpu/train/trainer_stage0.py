@@ -24,7 +24,6 @@ from projectiontrainer_tpu.checkpoint import CheckpointManager
 from projectiontrainer_tpu.core.config import Stage0Config
 from projectiontrainer_tpu.eval import metrics as M
 from projectiontrainer_tpu.models import siglip
-from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
 from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
@@ -53,7 +52,7 @@ class Stage0Trainer:
             len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
         )
 
-        params = shard_params(params, self.mesh)
+        params, param_shardings = common.place_params(params, self.mesh, cfg)
         labels = masks.stage0_labels(
             params, freeze_text=cfg.freeze_text_encoder,
             freeze_logit_scale=cfg.freeze_logit_scale,
@@ -80,7 +79,8 @@ class Stage0Trainer:
             compute_dtype=common.compute_dtype_from_config(cfg), mesh=self.mesh,
         )
         self.train_step = steps.make_train_step(
-            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels)
+            loss_fn, self.tx, trainable_mask=masks.bool_mask(labels),
+            param_shardings=param_shardings,
         )
         self.state = steps.init_state(params, self.tx)
 

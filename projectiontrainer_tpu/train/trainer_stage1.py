@@ -25,7 +25,6 @@ from projectiontrainer_tpu.core.config import Stage1Config
 from projectiontrainer_tpu.eval import metrics as M
 from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import vlm
-from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, masks, optim, steps
 from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
@@ -52,7 +51,7 @@ class Stage1Trainer:
             len(train_dataset), gbs, cfg.gradient_accumulation_steps, cfg.num_epochs
         )
 
-        params = shard_params(params, self.mesh)
+        params, param_shardings = common.place_params(params, self.mesh, cfg)
         labels = masks.stage1_labels(params)
         self.tx, self.schedule = optim.single_group_optimizer(
             labels, cfg.learning_rate, total_steps=self.max_train_steps,
@@ -68,6 +67,7 @@ class Stage1Trainer:
         self.train_step = steps.make_train_step(
             loss_fn, self.tx, trainable_mask=masks.bool_mask(labels),
             watch_subtree="projector" if cfg.watch_gradients else None,
+            param_shardings=param_shardings,
         )
         # eval uses the chunked CE too: un-chunked fp32 logits at a 262k vocab OOM at
         # production eval shapes exactly where training fits (VERDICT r1 weak #1)

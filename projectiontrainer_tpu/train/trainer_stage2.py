@@ -27,7 +27,6 @@ from projectiontrainer_tpu.core.config import Stage2Config
 from projectiontrainer_tpu.data import bucketing
 from projectiontrainer_tpu.generate import GenerationConfig, generate
 from projectiontrainer_tpu.models import vlm
-from projectiontrainer_tpu.parallel import shard_params
 from projectiontrainer_tpu.train import common, lora as lora_mod, masks, optim, steps
 from projectiontrainer_tpu.utils import MetricLogger, StepProfiler, StepTimer
 
@@ -61,7 +60,7 @@ class Stage2Trainer:
                     jax.random.key(cfg.seed), vlm_cfg.llm, self.lora_cfg
                 )
 
-        params = shard_params(params, self.mesh)
+        params, self._param_shardings = common.place_params(params, self.mesh, cfg)
         self.base_policy = cfg.freeze_policy()
 
         # Deterministic per-epoch bucket plans from token lengths: every host computes
@@ -95,8 +94,13 @@ class Stage2Trainer:
         # runs qualify for the Pallas fused-CE kernel (ops/fused_ce.py contract)
         table_frozen = not self.base_policy.train_llm
         cdtype = common.compute_dtype_from_config(cfg)
-        remat = {"full": True, "dots": "dots", "none": False}[
-            getattr(cfg, "remat", "full")]
+        remat_arg = getattr(cfg, "remat", "full")
+        try:
+            remat = {"full": True, "dots": "dots", "none": False}[remat_arg]
+        except KeyError:
+            raise ValueError(
+                f"--remat must be one of full|dots|none, got {remat_arg!r}"
+            ) from None
         loss_fn = steps.stage2_loss(
             vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk,
             table_frozen=table_frozen, compute_dtype=cdtype, mesh=self.mesh,
@@ -119,7 +123,8 @@ class Stage2Trainer:
             )
             self._steps[ve_flag] = (
                 steps.make_train_step(
-                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels)
+                    loss_fn, tx, donate=False, trainable_mask=masks.bool_mask(labels),
+                    param_shardings=self._param_shardings,
                 ),
                 tx, schedule,
             )

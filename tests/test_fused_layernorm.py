@@ -5,6 +5,8 @@ row count that leaves a ragged final grid block — the parameter-gradient accum
 must mask the padded rows.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -64,6 +66,65 @@ def test_bf16_fwd_parity():
 def test_gate():
     # CPU backend → unsupported (falls back to XLA path in models)
     assert not fused_layernorm_supported(jnp.zeros((64, 256), jnp.bfloat16))
+
+
+_TPU_PARITY_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+if jax.default_backend() != "tpu":
+    raise SystemExit(75)  # no TPU reachable -> skip
+from projectiontrainer_tpu.ops import layers as L
+from projectiontrainer_tpu.ops.fused_layernorm import _fused_ln
+
+for rows, d in [(512, 256), (520, 384)]:  # 520 leaves a ragged final grid block
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(rows, d)) * 2.0 + 0.3, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(d,)) * 0.5 + 1.0, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(rows, d)), jnp.float32)
+
+    def ref_loss(x, scale, bias):
+        y = L.layernorm({"scale": scale, "bias": bias}, x, eps=1e-6)
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    def fused_loss(x, scale, bias):
+        y = _fused_ln(x, scale, bias, 1e-6, False)  # compiled Mosaic, not interpret
+        return jnp.sum(y.astype(jnp.float32) * g)
+
+    ref = jax.jit(L.layernorm, static_argnames=())({"scale": scale, "bias": bias}, x)
+    fused = jax.jit(lambda x, s, b: _fused_ln(x, s, b, 1e-6, False))(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    rg = jax.jit(jax.grad(ref_loss, argnums=(0, 1, 2)))(x, scale, bias)
+    fg = jax.jit(jax.grad(fused_loss, argnums=(0, 1, 2)))(x, scale, bias)
+    for r, f, name in zip(rg, fg, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r), rtol=2e-4,
+                                   atol=2e-4, err_msg=f"{name} rows={rows}")
+
+    # bf16 input through the compiled kernel (bench path dtype)
+    xb = x.astype(jnp.bfloat16)
+    refb = L.layernorm({"scale": scale, "bias": bias}, xb, eps=1e-6)
+    fusedb = jax.jit(lambda x, s, b: _fused_ln(x, s, b, 1e-6, False))(xb, scale, bias)
+    np.testing.assert_allclose(np.asarray(fusedb, np.float32),
+                               np.asarray(refb, np.float32), rtol=2e-2, atol=2e-2)
+print("tpu fused-LN parity ok")
+"""
+
+
+@pytest.mark.slow
+def test_tpu_compiled_fwd_bwd_parity():
+    """The compiled Mosaic backward (sequential-grid += accumulation into a revisited
+    (1,d) block) vs XLA, on REAL TPU — interpret-mode tests can't catch Mosaic
+    lowering bugs. Runs in a subprocess because conftest pins this suite to the
+    virtual CPU mesh; skips when no TPU is reachable."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run([sys.executable, "-c", _TPU_PARITY_SCRIPT],
+                          capture_output=True, text=True, timeout=600, env=env)
+    if proc.returncode == 75:
+        pytest.skip("no TPU backend reachable")
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
 
 
 def test_model_flag_cpu_fallback():

@@ -413,6 +413,10 @@ def test_stage2_save_steps_mid_epoch_resume_equivalence(corpus, tmp_path):
     t1._steps[False] = (dying_step, tx, sched)
     with pytest.raises(RuntimeError, match="preempted"):
         t1.train()
+    # flush the in-flight async step_2 save — on a real preemption the atexit
+    # handler does this; without it the commit races the assertion (first seen
+    # when nf4-mirror's full-size int8 leaves slowed the background write)
+    t1.ckpt.wait()
     assert t1.ckpt.latest_step() == 2 and t1.ckpt.latest_epoch() is None
 
     cfg2 = mk_cfg(out2)
