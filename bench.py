@@ -166,6 +166,133 @@ def _calib_record(calib_ms):
     }
 
 
+def _intrinsic_probe(step, state, batch_data, n_steps: int = 4, key_base: int = 500):
+    """Chip-state-free step time from a short jax.profiler trace (VERDICT r3 missing
+    #3): the device's "XLA Modules" line records each train-step module's EXECUTION
+    duration, excluding the inter-step preemption gaps that the shared chip's slow
+    episodes inject (BENCH_EXTRA_r05 chip-state anatomy: slow episode = ~100 ms/step
+    of idle gap, module durations unchanged). Returns ``(state, record)`` where
+    record = {intrinsic_step_ms, preemption_gap_ms, n} or None when the backend
+    can't trace / parse (CPU, missing protos) — the bench must not die on a
+    diagnostic."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return state, None
+    tmp = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        jax.profiler.start_trace(tmp)
+        try:
+            for i in range(n_steps):
+                out = step(state, batch_data, jax.random.key(key_base + i))
+                state = out[0]
+            float(out[1])  # sync inside the trace so every module lands in it
+        finally:
+            jax.profiler.stop_trace()
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+        events = []  # (metadata_id, offset_ps, duration_ps)
+        for pb in _glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True):
+            xs = xplane_pb2.XSpace()
+            with open(pb, "rb") as f:
+                xs.ParseFromString(f.read())
+            for plane in xs.planes:
+                if not plane.name.startswith("/device:TPU"):
+                    continue
+                for line in plane.lines:
+                    if line.name != "XLA Modules":
+                        continue
+                    for e in line.events:
+                        events.append((e.metadata_id, e.offset_ps, e.duration_ps))
+        if not events:
+            return state, None
+        # the train step is the module group with the largest total device time
+        by_id = {}
+        for mid, off, dur in events:
+            by_id.setdefault(mid, []).append((off, dur))
+        _, group = max(by_id.items(), key=lambda kv: sum(d for _, d in kv[1]))
+        if len(group) < 2:
+            return state, None
+        durs_ms = sorted(d / 1e9 for _, d in group)
+        intrinsic_ms = durs_ms[len(durs_ms) // 2]  # median
+        span_ps = (max(o + d for o, d in group) - min(o for o, _ in group))
+        busy_ps = sum(d for _, d in group)
+        gap_ms = max(0.0, (span_ps - busy_ps) / 1e9) / max(1, len(group) - 1)
+        return state, {
+            "intrinsic_step_ms": round(intrinsic_ms, 2),
+            "preemption_gap_ms": round(gap_ms, 2),
+            "n": len(group),
+        }
+    except Exception:
+        return state, None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _op_table(step, state, batch_data, n_steps: int = 4, key_base: int = 700,
+              top: int = 15):
+    """Per-op device-time attribution from a profiler trace: aggregates the "XLA Ops"
+    line by op metadata over ``n_steps`` step executions. Returns ``(state, rows)``
+    where rows = [{op, ms_per_step, pct}] sorted by time — the op-level breakdown
+    VERDICT r3 next-steps #2/#3 ask for (the step-piece breakdowns localize to
+    fwd/bwd/update; this localizes to individual fusions)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return state, None
+    tmp = tempfile.mkdtemp(prefix="bench_ops_")
+    try:
+        jax.profiler.start_trace(tmp)
+        try:
+            for i in range(n_steps):
+                out = step(state, batch_data, jax.random.key(key_base + i))
+                state = out[0]
+            float(out[1])
+        finally:
+            jax.profiler.stop_trace()
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+        totals = {}  # op name -> total ps
+        grand = 0
+        for pb in _glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True):
+            xs = xplane_pb2.XSpace()
+            with open(pb, "rb") as f:
+                xs.ParseFromString(f.read())
+            for plane in xs.planes:
+                if not plane.name.startswith("/device:TPU"):
+                    continue
+                meta = {k: v.name for k, v in plane.event_metadata.items()}
+                for line in plane.lines:
+                    if line.name != "XLA Ops":
+                        continue
+                    for e in line.events:
+                        name = meta.get(e.metadata_id, str(e.metadata_id))
+                        totals[name] = totals.get(name, 0) + e.duration_ps
+                        grand += e.duration_ps
+        if not totals:
+            return state, None
+        rows = [
+            {"op": name, "ms_per_step": round(ps / 1e9 / n_steps, 2),
+             "pct": round(100.0 * ps / grand, 1)}
+            for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+        ]
+        rows.append({"op": "TOTAL(device busy)",
+                     "ms_per_step": round(grand / 1e9 / n_steps, 2), "pct": 100.0})
+        return state, rows
+    except Exception:
+        return state, None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _window_spacings(windows: int, spacing: float):
     """Sleep (seconds) before each window: 0 for the first, then doubling from
     ``spacing`` — spreads the window set over minutes so it straddles the chip's
@@ -645,10 +772,11 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
         step, state, batch_data, steps_n, windows=windows, dispatch=dispatch,
         calibrate=jax.default_backend() == "tpu", spacing=spacing,
     )
+    state, intrinsic = _intrinsic_probe(step, state, batch_data)
     step_s = elapsed / steps_n
     n_chips = len(jax.devices())
     mfu = _mfu(flops, step_s, n_chips)
-    return {
+    out = {
         "metric": "stage0_contrastive_images_per_sec_per_chip",
         "value": round(batch / step_s / n_chips, 3),
         "unit": "images/sec/chip",
@@ -658,6 +786,12 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"(frozen text tower, bf16 compute / fp32 vision masters)"),
     }
+    if intrinsic:
+        intr_s = intrinsic["intrinsic_step_ms"] / 1e3
+        out["value_intrinsic"] = round(batch / intr_s / n_chips, 3)
+        out["mfu_intrinsic"] = round(_mfu(flops, intr_s, n_chips), 4)
+        out["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+    return out
 
 
 def _run_stage0_breakdown(batch: int, steps_n: int):
@@ -860,6 +994,158 @@ def _full_vlm_cfg(model: str = "gemma3-1b"):
     )
 
 
+def _run_serve(batch: int, n_clients: int = 8, n_requests: int = 48,
+               max_new: int = 64, beams: int = 1, quant_method: str = "none",
+               max_wait_ms: float = 25.0):
+    """Load-test the REAL serving stack (cli/serve.py: HTTP endpoint -> micro-batcher
+    -> bucketed jitted generate) with N concurrent closed-loop clients and compare
+    against the offline batch path (VERDICT r3 missing #2: the production surface had
+    correctness tests but no load number). Uses the production Gemma3-1B VLM shapes
+    with synthetic weights (setup.build_vlm monkeypatched — no snapshots on the bench
+    box); requests carry base64 JPEGs and mixed question lengths spanning two
+    q-buckets, so the server exercises per-request decode, bucket padding, straggler
+    fill, and the stats endpoint. Serving-latency generation config: short answers
+    (the reference VQA task is 'single word or phrase'), greedy."""
+    import base64
+    import io
+    import json as _json
+    import logging
+    import threading
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from projectiontrainer_tpu.testing import word_tokenizer
+    from projectiontrainer_tpu.train import setup as setup_mod
+
+    cfg = _full_vlm_cfg("gemma3-1b")
+    params = _init_full_params(cfg, quantize=quant_method != "none",
+                               quant_method=quant_method)
+    base_tok = word_tokenizer()
+    n_vocab = len(base_tok.get_vocab())
+
+    class _SafeDecodeTok:
+        """word_tokenizer with decode clamped into its tiny vocab — the synthetic
+        262k-vocab decoder emits ids the word vocab doesn't have."""
+
+        def __init__(self, tok):
+            self._tok = tok
+
+        def __getattr__(self, name):
+            return getattr(self._tok, name)
+
+        def __call__(self, *a, **k):
+            return self._tok(*a, **k)
+
+        def decode(self, ids, **kw):
+            return self._tok.decode([int(i) % n_vocab for i in ids], **kw)
+
+    tok = _SafeDecodeTok(base_tok)
+
+    from projectiontrainer_tpu.cli.serve import VQAService, build_parser, make_server
+
+    args = build_parser().parse_args([
+        "--vision_model_name", "synthetic", "--llm_name", "synthetic",
+        "--projector_path", "", "--img_size", str(cfg.vision.image_size),
+        "--batch_size", str(batch), "--max_q_len", "64",
+        "--max_new_tokens", str(max_new), "--num_beams", str(beams),
+        "--max_wait_ms", str(max_wait_ms),
+    ])
+    orig_build, orig_tok = setup_mod.build_vlm, setup_mod.load_tokenizer
+    setup_mod.build_vlm = lambda *a, **k: (cfg, params, None)
+    setup_mod.load_tokenizer = lambda *a, **k: tok
+    try:
+        service = VQAService(args, logging.getLogger("bench-serve"))
+    finally:
+        setup_mod.build_vlm, setup_mod.load_tokenizer = orig_build, orig_tok
+    service.warmup()  # pre-compile every (bucket, batch) program
+    server = make_server(service, "127.0.0.1", 0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+
+    # one synthetic 'x-ray' JPEG, base64 (the production intake format); question
+    # texts of 8 and ~48 words span the 32- and 64-token buckets
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((cfg.vision.image_size,) * 2 + (3,)) * 255)
+        .astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    img_b64 = base64.b64encode(buf.getvalue()).decode()
+    q_short = "What disease is shown in this chest ?"
+    q_long = " ".join(["What disease is shown in the chest x-ray ?"] * 6)
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/vqa", data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return _json.loads(resp.read())
+
+    errors = []
+
+    def client(cid: int, n: int):
+        for i in range(n):
+            q = q_short if (cid + i) % 3 else q_long
+            try:
+                post({"image": img_b64, "question": q})
+            except Exception as e:  # pragma: no cover - diagnostics only
+                errors.append(repr(e))
+
+    per_client = -(-n_requests // n_clients)
+    total = per_client * n_clients
+    threads = [threading.Thread(target=client, args=(c, per_client))
+               for c in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = service.stats()
+    service.shutdown()
+    server.shutdown()
+    server.server_close()
+
+    # offline comparison: the SAME generate path driven with always-full batches
+    # (the batch CLI economics — reference: Stage2/inference_vqa_stage2.py:292-469)
+    from projectiontrainer_tpu.cli.infer_vqa_stage2 import generate_answers
+    from projectiontrainer_tpu.data import image as I
+    from projectiontrainer_tpu.generate import GenerationConfig
+
+    pixels = np.stack([I.preprocess(np.asarray(img.convert("RGB")),
+                                    cfg.vision.image_size)] * batch)
+    q_ids = [base_tok(q_short, add_special_tokens=False)["input_ids"]] * batch
+    gen_cfg = service.gen_cfg
+    generate_answers(pixels, q_ids, cfg, params, tok, max_q_len=64, gen_cfg=gen_cfg)
+    t0 = time.perf_counter()
+    off_batches = 3
+    for _ in range(off_batches):
+        generate_answers(pixels, q_ids, cfg, params, tok, max_q_len=64,
+                         gen_cfg=gen_cfg)
+    offline_rps = batch * off_batches / (time.perf_counter() - t0)
+
+    rps = total / wall
+    return {
+        "metric": f"serve_requests_per_sec_b{batch}",
+        "value": round(rps, 2),
+        "unit": "requests/sec",
+        "p50_latency_s": round(stats["p50_latency_s"], 3),
+        "p95_latency_s": round(stats["p95_latency_s"], 3),
+        "mean_batch_fill": round(stats["mean_batch_size"], 2),
+        "offline_requests_per_sec": round(offline_rps, 2),
+        "extra": (f"clients={n_clients} requests={total} wall={wall:.1f}s "
+                  f"batch={batch} max_new={max_new} beams={beams} "
+                  f"quant={quant_method} errors={len(errors)} "
+                  f"serve/offline={rps / offline_rps:.2f} stats={stats}"
+                  + (f" first_error={errors[0]}" if errors else "")),
+    }
+
+
 def _init_full_params(cfg, *, quantize=False, quant_method="int8"):
     import jax
     import jax.numpy as jnp
@@ -885,13 +1171,10 @@ def _init_full_params(cfg, *, quantize=False, quant_method="int8"):
     }
 
 
-def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
-                quant_method: str = "int8", lora_dropout: float | None = None,
-                windows: int = 3, dispatch: str = "loop", spacing: float = 0.0,
-                remat=True):
-    """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
-    import time
-
+def _build_stage2(batch: int, model: str = "gemma3-1b", quant_method: str = "int8",
+                  lora_dropout: float | None = None, remat=True):
+    """(cfg, lcfg, step, state, batch_data) for the QLoRA VQA step at the largest
+    bucket (q=256, a=1024) — shared by the throughput, breakdown, and op-table modes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -926,6 +1209,25 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
         "question_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 256))),
         "answer_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 1024))),
     }
+    return cfg, lcfg, step, state, batch_data
+
+
+def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
+                quant_method: str = "int8", lora_dropout: float | None = None,
+                windows: int = 3, dispatch: str = "loop", spacing: float = 0.0,
+                remat=True):
+    """QLoRA VQA step at the largest bucket (q=256, a=1024) -> tokens/sec."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from projectiontrainer_tpu.train import steps
+
+    cfg, lcfg, step, state, batch_data = _build_stage2(
+        batch, model=model, quant_method=quant_method, lora_dropout=lora_dropout,
+        remat=remat,
+    )
     flops = _step_flops(step, state, batch_data, jax.random.key(0))
     for i in range(warmup):
         state, loss, aux = step(state, batch_data, jax.random.key(i))
@@ -934,6 +1236,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
         step, state, batch_data, steps_n, windows=windows, dispatch=dispatch,
         calibrate=jax.default_backend() == "tpu", spacing=spacing,
     )
+    state, intrinsic = _intrinsic_probe(step, state, batch_data)
     total_tokens = steps_n * batch * (575 + 256 + 1024)
     mfu = _mfu(flops, elapsed / steps_n, jax.device_count())
 
@@ -952,7 +1255,7 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
     float(eval_loss)
     eval_ms = (time.perf_counter() - t0) / 3 * 1e3
 
-    return {
+    out = {
         "metric": f"stage2_vqa_tokens_per_sec_{model}_{quant_method}",
         "value": round(total_tokens / elapsed, 1),
         "unit": "tokens/sec",
@@ -961,6 +1264,122 @@ def _run_stage2(batch: int, steps_n: int, warmup: int, model: str = "gemma3-1b",
                   f"loss={float(loss):.3f} step={elapsed / steps_n * 1e3:.0f}ms "
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"mfu={mfu:.1%} eval_step={eval_ms:.0f}ms (memory-safe CE, no OOM)"),
+    }
+    if intrinsic:
+        intr_s = intrinsic["intrinsic_step_ms"] / 1e3
+        out["value_intrinsic"] = round(batch * (575 + 256 + 1024) / intr_s, 1)
+        out["mfu_intrinsic"] = round(_mfu(flops, intr_s, jax.device_count()), 4)
+        out["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+    return out
+
+
+def _run_stage2_full(batch: int, steps_n: int, warmup: int, windows: int = 3,
+                     spacing: float = 0.0, remat=True):
+    """FULL-JOINT stage-2: VE + projector + LLM all trainable (the reference's
+    ``--train_ve_first_epoch`` epoch-0 state with QLoRA off —
+    Stage2/train_vqa_stage2.py:121-134, Stage2/trainer.py:189-246) at the largest
+    bucket, Gemma3-1B: the largest full-joint that fits ONE chip (BASELINE config #4's
+    single-chip operating point; the 4B recipe needs the FSDP mesh layout, proven in
+    dryrun_multichip). Storage dtypes match the trainer path (train/setup.py):
+    bf16 towers+LLM, fp32 projector; the vocab table trains, so the chunked CE is
+    mandatory (the fused kernel's table cotangent is hard zero)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.train import masks, optim, steps
+
+    cfg = _full_vlm_cfg("gemma3-1b")
+    params = _init_full_params(cfg, quantize=False)
+    labels = masks.stage2_labels(
+        params, masks.Stage2Freeze(train_llm=True, use_lora=False,
+                                   train_projector=True, train_vision=True)
+    )
+    tx, _ = optim.single_group_optimizer(
+        labels, 1e-5, total_steps=1000, clip_norm=1.0, clip_per_module=True
+    )
+    loss_fn = steps.stage2_loss(cfg, 0, remat=remat, logits_chunk=256,
+                                table_frozen=False, compute_dtype=jnp.bfloat16)
+    step = steps.make_train_step(
+        loss_fn, tx, donate=True, trainable_mask=masks.bool_mask(labels)
+    )
+    state = steps.init_state(params, tx)
+
+    nprng = np.random.default_rng(0)
+    image = cfg.vision.image_size
+    vocab = cfg.llm.vocab_size
+    batch_data = {
+        "pixel_values": jnp.asarray(
+            nprng.normal(size=(batch, image, image, 3)), dtype=jnp.bfloat16
+        ),
+        "question_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 256))),
+        "answer_ids": jnp.asarray(nprng.integers(1, vocab, size=(batch, 1024))),
+    }
+    flops = _step_flops(step, state, batch_data, jax.random.key(0))
+    for i in range(warmup):
+        state, loss, aux = step(state, batch_data, jax.random.key(i))
+    float(loss)
+    elapsed, state, loss, window_ms, calib = _timed_windows(
+        step, state, batch_data, steps_n, windows=windows,
+        calibrate=jax.default_backend() == "tpu", spacing=spacing,
+    )
+    state, intrinsic = _intrinsic_probe(step, state, batch_data)
+    total_tokens = steps_n * batch * (575 + 256 + 1024)
+    mfu = _mfu(flops, elapsed / steps_n, jax.device_count())
+    out = {
+        "metric": "stage2_full_joint_tokens_per_sec_gemma3-1b",
+        "value": round(total_tokens / elapsed, 1),
+        "unit": "tokens/sec",
+        "mfu": round(mfu, 4),
+        "extra": (f"full-joint (VE+projector+LLM trainable) batch={batch} "
+                  f"remat={remat} loss={float(loss):.3f} "
+                  f"step={elapsed / steps_n * 1e3:.0f}ms "
+                  f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
+                  f"mfu={mfu:.1%} grad_norm={float(aux['grad_norm']):.2f}"),
+    }
+    if intrinsic:
+        intr_s = intrinsic["intrinsic_step_ms"] / 1e3
+        out["value_intrinsic"] = round(batch * (575 + 256 + 1024) / intr_s, 1)
+        out["mfu_intrinsic"] = round(_mfu(flops, intr_s, jax.device_count()), 4)
+        out["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+    return out
+
+
+def _run_stage2_ops(batch: int, model: str = "gemma3-1b", quant_method: str = "int8",
+                    remat=False):
+    """Top-op device-time table for the stage-2 step (VERDICT r3 next #2: the 1B
+    remat=none headline row runs 44.5% MFU with the backward unattributed)."""
+    import jax
+
+    _, _, step, state, batch_data = _build_stage2(
+        batch, model=model, quant_method=quant_method, remat=remat)
+    for i in range(2):
+        state, loss, _ = step(state, batch_data, jax.random.key(i))
+    float(loss)
+    state, rows = _op_table(step, state, batch_data)
+    return {
+        "metric": f"stage2_op_table_{model}_{quant_method}",
+        "value": rows[-1]["ms_per_step"] if rows else 0.0,
+        "unit": "ms device-busy/step",
+        "extra": f"batch={batch} remat={remat} top_ops={json.dumps(rows)}",
+    }
+
+
+def _run_stage0_ops(batch: int, ln: str = "fused"):
+    """Top-op device-time table for the stage-0 step (VERDICT r3 next #3: 335 ms
+    backward at ~49% MFU, never profiled op-by-op)."""
+    import jax
+
+    _, step, state, batch_data = _build_stage0(batch, ln=ln)
+    for i in range(2):
+        state, loss, _ = step(state, batch_data, jax.random.key(i))
+    float(loss)
+    state, rows = _op_table(step, state, batch_data)
+    return {
+        "metric": "stage0_op_table",
+        "value": rows[-1]["ms_per_step"] if rows else 0.0,
+        "unit": "ms device-busy/step",
+        "extra": f"batch={batch} ln={ln} top_ops={json.dumps(rows)}",
     }
 
 
@@ -1183,10 +1602,15 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--mode", default="stage1",
-        choices=["stage0", "stage0-breakdown", "stage1", "stage1-tiny", "stage1-8b",
-                 "stage2", "stage2-8b", "stage2-breakdown",
-                 "gen", "flash-check", "ce-check", "pipeline"],
+        choices=["stage0", "stage0-breakdown", "stage0-ops", "stage1", "stage1-tiny",
+                 "stage1-8b", "stage2", "stage2-8b", "stage2-full",
+                 "stage2-breakdown", "stage2-ops",
+                 "gen", "serve", "flash-check", "ce-check", "pipeline"],
     )
+    parser.add_argument("--serve_clients", type=int, default=8,
+                        help="serve mode: concurrent closed-loop clients")
+    parser.add_argument("--serve_requests", type=int, default=48,
+                        help="serve mode: total requests across all clients")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
@@ -1254,9 +1678,30 @@ def main(argv=None):
         # stays under 5 minutes (a driver-side timeout is not impossible)
         args.window_spacing = 20.0 if record_mode else 0.0
 
-    if args.mode in ("stage0", "stage0-breakdown", "stage2", "stage2-8b",
-                     "stage2-breakdown", "gen", "flash-check", "ce-check", "pipeline"):
-        if args.mode == "flash-check":
+    if args.mode in ("stage0", "stage0-breakdown", "stage0-ops", "stage2",
+                     "stage2-8b", "stage2-full", "stage2-breakdown", "stage2-ops",
+                     "gen", "serve", "flash-check", "ce-check", "pipeline"):
+        if args.mode == "stage2-ops":
+            result = _run_stage2_ops(
+                min(args.batch, 4), quant_method=args.quant or "int8",
+                remat=_parse_remat(args.remat, default=False, allow_int=False))
+        elif args.mode == "stage0-ops":
+            result = _run_stage0_ops(16 if args.batch == 8 else args.batch,
+                                     ln=args.ln or "fused")
+        elif args.mode == "serve":
+            result = _run_serve(min(args.batch, 4), n_clients=args.serve_clients,
+                                n_requests=args.serve_requests,
+                                max_new=args.gen_max_new if args.gen_max_new != 1024 else 64,
+                                beams=args.gen_beams if args.gen_beams != 3 else 1,
+                                quant_method=args.quant or "none")
+        elif args.mode == "stage2-full":
+            result = _run_stage2_full(
+                min(args.batch, 4), args.steps, args.warmup, windows=args.windows,
+                spacing=args.window_spacing,
+                # full-joint holds bf16 moments for ~1.3B params; remat keeps the
+                # activation side in budget at the (256, 1024) bucket
+                remat=_parse_remat(args.remat, default=True, allow_int=False))
+        elif args.mode == "flash-check":
             result = _run_flash_check()
         elif args.mode == "ce-check":
             result = _run_ce_check()
@@ -1331,21 +1776,37 @@ def main(argv=None):
         dispatch=args.dispatch, calibrate=not tiny and jax.default_backend() == "tpu",
         spacing=args.window_spacing,
     )
+    # tiny smoke shapes make the probe (and cross-round ratios) meaningless — and
+    # the axon sitecustomize forces the TPU backend even under JAX_PLATFORMS=cpu,
+    # so gate on the mode, not the backend
+    state, intrinsic = (state, None) if tiny else _intrinsic_probe(step, state, batch_data)
 
     n_chips = jax.device_count()
     images_per_sec = batch * args.steps / elapsed
     value = images_per_sec / n_chips
+    value_intrinsic = None
+    if intrinsic:
+        value_intrinsic = round(
+            batch / (intrinsic["intrinsic_step_ms"] / 1e3) / n_chips, 3
+        )
 
+    # vs_baseline prefers the chip-state-free intrinsic number when BOTH rounds carry
+    # it (VERDICT r3 weak #4: wall-clock comparisons ride chip-state luck — r2's
+    # "regression" to 0.944 was a slow episode, not the code)
     vs_baseline = None
     history = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
-    if not tiny and (s1_model != "gemma3-1b" or s1_quant != "none"):
-        history = []  # prior rounds recorded the plain 1B metric; not comparable
+    if tiny or s1_model != "gemma3-1b" or s1_quant != "none":
+        history = []  # prior rounds recorded the production 1B metric; not comparable
     if history:
         try:
             with open(history[-1]) as f:
                 prev = json.load(f)
-            prev_value = prev.get("value") or prev.get("parsed", {}).get("value")
-            if prev_value:
+            parsed = prev.get("parsed", {}) if isinstance(prev.get("parsed"), dict) else {}
+            prev_intr = prev.get("value_intrinsic") or parsed.get("value_intrinsic")
+            prev_value = prev.get("value") or parsed.get("value")
+            if prev_intr and value_intrinsic:
+                vs_baseline = value_intrinsic / float(prev_intr)
+            elif prev_value:
                 vs_baseline = value / float(prev_value)
         except Exception:
             pass
@@ -1365,17 +1826,27 @@ def main(argv=None):
         "vs_baseline": vs_baseline,
         "mfu": round(mfu, 4),
     }
-    if calib:
+    if intrinsic:
+        line["value_intrinsic"] = value_intrinsic
+        line["mfu_intrinsic"] = round(
+            _mfu(flops, intrinsic["intrinsic_step_ms"] / 1e3, n_chips), 4)
+        line["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+    if calib and intrinsic:
+        line["methodology"] = (
+            "value/mfu are wall-clock best-of-%d spread windows (step ms %s; MXU "
+            "probe %s); value_intrinsic/mfu_intrinsic use profiler device-busy "
+            "module time (chip-state-free — preemption_gap_ms is the measured "
+            "idle between steps); vs_baseline compares intrinsic when both "
+            "rounds carry it"
+            % (args.windows, [round(w, 1) for w in window_ms], calib["mxu_health"])
+        )
+    elif calib:
         line["methodology"] = (
             "best of %d windows spread over ~%.0fs (sleep schedule %s) to improve the "
             "odds of catching the chip's fast execution episode (the step time is "
-            "bimodal 1.32x, BENCH_EXTRA_r04; r3 measurement: slow episodes can "
-            "persist for an hour+, so cross-round comparisons of this value still "
-            "carry chip-state luck — compare mfu and the probe too); per-window step "
-            "ms %s; MXU-health probe per window %s (a fixed 81%%-MFU matmul chain vs "
-            "its committed nominal — the episodic slowdown does NOT affect pure MXU "
-            "work, so probe~1.0 with a 396ms step means the slow episode, probe~1.0 "
-            "with 299ms the fast one)"
+            "bimodal 1.32x, BENCH_EXTRA_r04; slow episodes can persist an hour+, so "
+            "wall-clock cross-round comparisons carry chip-state luck); per-window "
+            "step ms %s; MXU-health probe per window %s"
             % (args.windows,
                sum(_window_spacings(args.windows, args.window_spacing)),
                [round(s) for s in _window_spacings(args.windows, args.window_spacing)],

@@ -40,8 +40,9 @@ def build_parser():
 
 def caption_image(image_path, vlm_cfg, params, tokenizer, *, img_size, gen_cfg):
     pixels = I.preprocess(I.load_image(image_path), img_size)[None]
-    visual = vlm.visual_embeds(params, vlm_cfg, jnp.asarray(pixels))
-    mask = jnp.ones(visual.shape[:2], jnp.int32)
+    # jitted prefix build — the eager tower forward costs seconds/call in per-op
+    # dispatch on the tunneled runtime
+    visual, mask = vlm.visual_prefix(params, vlm_cfg, jnp.asarray(pixels))
     ids = generate(params["llm"], vlm_cfg.llm, visual, mask, gen_cfg)
     pad = tokenizer.pad_token_id or 0
     return tokenizer.decode(

@@ -83,14 +83,10 @@ def generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len, ge
         q = q[-q_len:]  # over-bucket truncation keeps the tokens nearest the answer
         q_ids[i, q_len - len(q):] = q
 
-    visual = vlm.visual_embeds(params, vlm_cfg, jnp.asarray(pixels))
-    from projectiontrainer_tpu.models import decoder as dec
-
-    q_emb = dec.embed(params["llm"], vlm_cfg.llm, jnp.asarray(q_ids)).astype(visual.dtype)
-    embeds = jnp.concatenate([visual, q_emb], axis=1)
-    mask = jnp.concatenate(
-        [jnp.ones(visual.shape[:2], jnp.int32), jnp.asarray((q_ids != pad).astype(np.int32))],
-        axis=1,
+    # one jitted program builds the [visual; question] prefix — eager per-op
+    # dispatch of the vision tower costs seconds/call on the tunneled runtime
+    embeds, mask = vlm.question_prefix(
+        params, vlm_cfg, jnp.asarray(pixels), jnp.asarray(q_ids), pad_token_id=pad
     )
     ids = generate(params["llm"], vlm_cfg.llm, embeds, mask, gen_cfg)
     return [

@@ -21,6 +21,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -432,6 +433,17 @@ def _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
 # ---------------------------------------------------------------------------- public API
 
 
+@functools.partial(
+    jax.jit, static_argnames=("llm_cfg", "cfg", "naive_cache_reorder")
+)
+def _generate_compiled(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
+                       naive_cache_reorder=False):
+    if cfg.num_beams > 1:
+        return _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
+                              naive_reorder=naive_cache_reorder)
+    return _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key)
+
+
 def generate(
     params,          # decoder params (the ``llm`` subtree of a VLM param tree)
     llm_cfg,
@@ -442,10 +454,15 @@ def generate(
     *,
     naive_cache_reorder: bool = False,  # full-cache gather per beam step (bench/debug)
 ):
-    """Returns generated token ids [B, max_new_tokens] (pad after EOS)."""
+    """Returns generated token ids [B, max_new_tokens] (pad after EOS).
+
+    Jitted HERE, at the public boundary (configs are frozen dataclasses — static
+    args; one compile per (shape, config) pair): callers like the inference CLIs
+    and the serving worker must not pay eager per-op dispatch for the prefill +
+    decode loop — measured 4.7 s/sample eager vs ~0.1 s jitted at max_new=64 on
+    the tunneled v5e, the whole gap being host round-trips. Callers that wrap
+    generate in their own jit (bench, dryrun) simply inline this one."""
     if key is None:
         key = jax.random.key(0)
-    if cfg.num_beams > 1:
-        return _generate_beam(params, llm_cfg, inputs_embeds, attention_mask, cfg, key,
-                              naive_reorder=naive_cache_reorder)
-    return _generate_sample(params, llm_cfg, inputs_embeds, attention_mask, cfg, key)
+    return _generate_compiled(params, llm_cfg, inputs_embeds, attention_mask, cfg,
+                              key, naive_cache_reorder=naive_cache_reorder)

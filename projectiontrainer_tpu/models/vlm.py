@@ -16,8 +16,10 @@ All shapes are static: captions are fixed-length (the reference already pads Sta
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from projectiontrainer_tpu.models import decoder as dec
@@ -57,6 +59,36 @@ def visual_embeds(params, cfg: VLMConfig, pixel_values, *, remat: bool = False):
     if cfg.drop_first_patch:
         hidden = hidden[:, 1:, :]
     return proj.forward(params["projector"], hidden)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def visual_prefix(params, cfg: VLMConfig, pixel_values):
+    """Visual-only generation prefix -> (embeds [B,V,D], all-ones mask [B,V]),
+    jitted as one program (see question_prefix) — the Stage-1 inference path
+    generates from visual embeds alone (Stage1/projector_trainer.py:386-393)."""
+    visual = visual_embeds(params, cfg, pixel_values)
+    return visual, jnp.ones(visual.shape[:2], jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pad_token_id"))
+def question_prefix(params, cfg: VLMConfig, pixel_values, question_ids,
+                    pad_token_id: int):
+    """[visual; question] generation prefix -> (embeds [B,P,D], mask [B,P]).
+
+    Jitted as ONE program (configs are frozen dataclasses): inference CLIs and the
+    serving worker build this prefix outside any jit, and an eager vision tower +
+    embed + concat costs seconds per call in per-op dispatch on the tunneled
+    runtime. ``question_ids`` must be LEFT-padded (generation semantics — the
+    reference forces padding_side='left', Stage2/trainer.py:499-505)."""
+    visual = visual_embeds(params, cfg, pixel_values)
+    q_emb = dec.embed(params["llm"], cfg.llm, question_ids).astype(visual.dtype)
+    embeds = jnp.concatenate([visual, q_emb], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones(visual.shape[:2], jnp.int32),
+         (question_ids != pad_token_id).astype(jnp.int32)],
+        axis=1,
+    )
+    return embeds, mask
 
 
 def build_sequence(

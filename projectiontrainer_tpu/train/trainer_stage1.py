@@ -205,8 +205,7 @@ class Stage1Trainer:
 
     def _generate_captions(self, batch, max_new_tokens: int = 32) -> list[str]:
         params = self.state["params"]
-        visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
-        mask = np.ones(visual.shape[:2], np.int32)
+        visual, mask = vlm.visual_prefix(params, self.vlm_cfg, batch["pixel_values"])
         eos = self.tokenizer.eos_token_id
         ids = generate(
             params["llm"], self.vlm_cfg.llm, visual, mask,

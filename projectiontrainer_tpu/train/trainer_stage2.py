@@ -321,20 +321,17 @@ class Stage2Trainer:
         ``gen_params`` is the (LoRA-merged) decoder tree; None merges on the fly."""
         params = self.state["params"]
         cfg = self.cfg
-        visual = vlm.visual_embeds(params, self.vlm_cfg, batch["pixel_values"])
         q_ids = common.to_host(batch["question_ids"])
         # left-shift question padding: [q pad][visual q] ordering must keep last slot valid
         order = np.argsort(q_ids == self.pad_id, axis=1, kind="stable")
         q_left = np.take_along_axis(q_ids, order, axis=1)
-        from projectiontrainer_tpu.models import decoder as dec
-
-        q_emb = dec.embed(params["llm"], self.vlm_cfg.llm, q_left).astype(visual.dtype)
         import jax.numpy as jnp
 
-        embeds = jnp.concatenate([visual, q_emb], axis=1)
-        mask = np.concatenate(
-            [np.ones(visual.shape[:2], np.int32), (q_left != self.pad_id).astype(np.int32)],
-            axis=1,
+        # one jitted program for the [visual; question] prefix (eager tower forward
+        # costs seconds/call in per-op dispatch on the tunneled runtime)
+        embeds, mask = vlm.question_prefix(
+            params, self.vlm_cfg, batch["pixel_values"], jnp.asarray(q_left),
+            pad_token_id=self.pad_id,
         )
         if gen_params is None:
             gen_params = params["llm"]
