@@ -259,8 +259,23 @@ def _op_table(step, state, batch_data, n_steps: int = 4, key_base: int = 700,
         finally:
             jax.profiler.stop_trace()
         from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+        import re as _re
 
-        totals = {}  # op name -> total ps
+        def group_key(name: str) -> str:
+            """'%fusion.1465 = (f32[4,1855]{...}, bf16[...]{...}) fusion(...)' ->
+            'fusion (f32[4,1855], bf16[4,1855,1152])' — aggregates the per-layer
+            instances of the same computation into one row."""
+            try:
+                rhs = name.split(" = ", 1)[1]
+                m = _re.match(r"(\(.*?\)|\S+)\s+([\w-]+)\(", rhs)
+                if not m:
+                    return name[:80]
+                type_str = _re.sub(r"\{[^}]*\}", "", m.group(1))
+                return f"{m.group(2)} {type_str}"
+            except Exception:
+                return name[:80]
+
+        totals, counts = {}, {}
         grand = 0
         for pb in _glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True):
             xs = xplane_pb2.XSpace()
@@ -274,14 +289,16 @@ def _op_table(step, state, batch_data, n_steps: int = 4, key_base: int = 700,
                     if line.name != "XLA Ops":
                         continue
                     for e in line.events:
-                        name = meta.get(e.metadata_id, str(e.metadata_id))
-                        totals[name] = totals.get(name, 0) + e.duration_ps
+                        key = group_key(meta.get(e.metadata_id, str(e.metadata_id)))
+                        totals[key] = totals.get(key, 0) + e.duration_ps
+                        counts[key] = counts.get(key, 0) + 1
                         grand += e.duration_ps
         if not totals:
             return state, None
         rows = [
             {"op": name, "ms_per_step": round(ps / 1e9 / n_steps, 2),
-             "pct": round(100.0 * ps / grand, 1)}
+             "pct": round(100.0 * ps / grand, 1),
+             "calls_per_step": round(counts[name] / n_steps, 1)}
             for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]
         ]
         rows.append({"op": "TOTAL(device busy)",

@@ -410,6 +410,343 @@ def _bwd(q, k, v, kv_mask, out, lse, do, *, scale, causal, window, bq, bk,
     return dq, dk, dv
 
 
+# ------------------------------------------- merged-lane (transposeless) kernels
+#
+# The BHTD internal layout forces a real transpose at every kernel boundary: the
+# QKV projections produce [B, T, H*D] and the custom-call's operand layout
+# constraint materializes the swapaxes as copies — the r4 stage-0 op table shows
+# 325 copies of bf16[16,1024,16,72] = 38.8 ms/step (8.3% of device time) running at
+# ~38 GB/s (the (T,H) swap moves 144-byte rows with large strides; it cannot go
+# faster). Reading [B, T, H, D] blocks directly is NOT lowerable: Mosaic tiles the
+# last two block dims as (sublane, lane), so a per-head [T, D] tile from a T-major
+# block is an "unsupported shape cast" (measured, r4). The layout that IS legal:
+# merge heads into the LANE dimension — pad D to the 128 granule and view the
+# tensor as [B, T, H*Dp]. Each head is then a static 128-aligned lane band, and
+# per-head slices q_ref[:, h*Dp:(h+1)*Dp] are free; no transposes exist anywhere.
+# The pad's zero lanes contribute 0 to every dot product, so results are exact;
+# for D a 128-multiple the merge is a pure reshape (no pad, no extra bytes).
+#
+# Kernel structure: grid (batch, HEAD-GROUP, blocks) — the head-group axis tiles
+# the lane dimension in G-head bands, so every VMEM block stays ~1 MB even with
+# Mosaic's pipeline double-buffering (a whole-KV variant measured 20 MB of scoped
+# VMEM and failed to compile). Kernels loop the G heads of their band; dK/dV and
+# dQ accumulate into REVISITED output blocks across the innermost grid axis (the
+# fused-LayerNorm bwd pattern). Scoped to non-causal, unmasked, no-window,
+# exact-block shapes whose head dim is a 128-multiple (free merge). For D=72/64
+# towers the pad-based variant was measured a net loss (layout ops ~= the
+# transposes they replace + 1.78x kernel traffic + 1.4 GB HBM overflow at the
+# stage-0 batch), so those keep the BHTD path.
+
+
+def _lanes_dp(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _merge_heads(x, dp):
+    """[B, T, H, D] -> [B, T, H*dp] with the head dim padded into lane bands."""
+    b, t, h, d = x.shape
+    if d != dp:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    return x.reshape(b, t, h * dp)
+
+
+def _lanes_group(heads: int, n_rep: int, dp: int) -> int:
+    """Heads per grid band: ~512 lanes per block, a multiple of n_rep (so a band's
+    KV heads are whole), dividing the head count."""
+    g = max(1, 512 // dp)
+    g = max(g, n_rep)
+    while heads % g or g % n_rep:
+        g -= 1
+    return g
+
+
+def _fwd_lanes_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, group, n_rep, dp, bk):
+    t = k_ref.shape[1]
+    n_kv = t // bk
+    bq = q_ref.shape[1]
+    for h in range(group):
+        q = q_ref[0, :, pl.ds(h * dp, dp)]  # [BQ, Dp] pre-scaled (exp2 domain)
+        g = h // n_rep
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, dp), jnp.float32)
+
+        def body(j, carry, q=q, g=g):
+            m, l, acc = carry
+            k_blk = k_ref[0, pl.ds(j * bk, bk), pl.ds(g * dp, dp)]
+            v_blk = v_ref[0, pl.ds(j * bk, bk), pl.ds(g * dp, dp)]
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            correction = jnp.exp2(m - m_new)
+            l = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * correction + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc
+
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+        l_safe = jnp.maximum(l, 1e-30)
+        o_ref[0, :, pl.ds(h * dp, dp)] = (acc / l_safe).astype(o_ref.dtype)
+        # lse in natural-log units, stored banded [B, n_bands, T, g] (lane h —
+        # the band's OWN g-lane array keeps the block legal: a g-wide lane block
+        # of a [B, T, H] array is neither 128-divisible nor the full dim)
+        l_ref[0, 0, :, h] = m[:, 0] / LOG2E + jnp.log(l_safe[:, 0])
+
+
+def _bwd_dkv_lanes_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, group, n_rep, dp, bq):
+    t = q_ref.shape[1]
+    n_q = t // bq
+    bk = k_ref.shape[1]
+    for h in range(group):
+        g = h // n_rep
+        k_blk = k_ref[0, :, pl.ds(g * dp, dp)]      # [BK, Dp]
+        v_blk = v_ref[0, :, pl.ds(g * dp, dp)]
+        dk0 = jnp.zeros((bk, dp), jnp.float32)
+        dv0 = jnp.zeros((bk, dp), jnp.float32)
+
+        def body(j, carry, h=h, k_blk=k_blk, v_blk=v_blk):
+            dk, dv = carry
+            q_blk = q_ref[0, pl.ds(j * bq, bq), pl.ds(h * dp, dp)]  # pre-scaled
+            do_blk = do_ref[0, pl.ds(j * bq, bq), pl.ds(h * dp, dp)]
+            lse = lse_ref[0, 0, pl.ds(j * bq, bq), h]               # log2-domain
+            delta = delta_ref[0, 0, pl.ds(j * bq, bq), h]
+            s = jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp2(s - lse[:, None])
+            dv = dv + jax.lax.dot_general(
+                p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp_ = jax.lax.dot_general(
+                do_blk, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp_ - delta[:, None])
+            dk = dk + jax.lax.dot_general(
+                ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dk, dv
+
+        dk, dv = jax.lax.fori_loop(0, n_q, body, (dk0, dv0))
+        dk_ref[0, :, pl.ds(h * dp, dp)] = (dk * (1.0 / LOG2E)).astype(dk_ref.dtype)
+        dv_ref[0, :, pl.ds(h * dp, dp)] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_lanes_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                         *, group, n_rep, dp, scale, bk):
+    t = k_ref.shape[1]
+    n_kv = t // bk
+    for h in range(group):
+        g = h // n_rep
+        q_blk = q_ref[0, :, pl.ds(h * dp, dp)]
+        do_blk = do_ref[0, :, pl.ds(h * dp, dp)]
+        lse = lse_ref[0, 0, :, h]
+        delta = delta_ref[0, 0, :, h]
+        bq = q_blk.shape[0]
+        dq0 = jnp.zeros((bq, dp), jnp.float32)
+
+        def body(j, dq, q_blk=q_blk, do_blk=do_blk, lse=lse, delta=delta, g=g):
+            k_blk = k_ref[0, pl.ds(j * bk, bk), pl.ds(g * dp, dp)]
+            v_blk = v_ref[0, pl.ds(j * bk, bk), pl.ds(g * dp, dp)]
+            s = jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp2(s - lse[:, None])
+            dp_ = jax.lax.dot_general(
+                do_blk, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp_ - delta[:, None])
+            return dq + jax.lax.dot_general(
+                ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dq = jax.lax.fori_loop(0, n_kv, body, dq0)
+        dq_ref[0, :, pl.ds(h * dp, dp)] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _lanes_supported(b, t, hq, hkv, d, *, causal, window, kv_mask, bq, bk) -> bool:
+    """Gate for the merged-lane path: the unmasked exact-block tower case."""
+    if causal or window is not None or kv_mask is not None:
+        return False
+    bq_, bk_, t_pad = _pick_blocks(t, bq, bk)
+    if t_pad != t:
+        return False  # block padding would need the masked path
+    dp = _lanes_dp(d)
+    # Only FREE merges qualify (d a 128-multiple: the [B,T,H,D]->[B,T,H*D]
+    # reshape is layout-identical, so the path deletes every transpose at zero
+    # cost). Padded merges were measured a NET LOSS on the stage-0 D=72 shape:
+    # the pad/unpad layout ops cost about what the transposes did (~0.1 ms per
+    # 37.7 MB tensor either way), kernel HBM traffic grows dp/d = 1.78x, and the
+    # transient padded copies pushed the batch-16 step 1.4 GB over HBM. d=72 and
+    # d=64 therefore stay on the BHTD path — see BENCH_EXTRA_r06
+    # stage0_attention_layout_avenues for the full account.
+    if dp != d:
+        return False
+    n_rep = hq // hkv
+    g = _lanes_group(hq, n_rep, dp)
+    # per-band blocks (q/o/k/v ~ bq|t x G*dp bf16), double-buffered by the pipeline
+    vmem = (2 * t * (g // n_rep) * dp + 2 * bq_ * g * dp) * 2 * 2
+    return vmem < 10 * 1024 * 1024
+
+
+def _fwd_lanes(qm, km, vm, *, heads, hkv, dp, bq, bk, interpret=False):
+    """Merged-lane tensors [B, T, H*dp] -> (out merged, lse [B, T, Hq])."""
+    b, t, _ = qm.shape
+    n_rep = heads // hkv
+    g = _lanes_group(heads, n_rep, dp)
+    gkv = g // n_rep
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_lanes_kernel, group=g, n_rep=n_rep, dp=dp, bk=bk),
+        grid=(b, heads // g, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, g * dp), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, t, gkv * dp), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, gkv * dp), lambda bi, hi, qi: (bi, 0, hi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, g * dp), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, 1, bq, g), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qm.shape, qm.dtype),
+            jax.ShapeDtypeStruct((b, heads // g, t, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qm, km, vm)
+    # banded [B, n_bands, T, g] -> [B, T, Hq] (tiny fp32 tensor)
+    return out, lse.transpose(0, 2, 1, 3).reshape(b, t, heads)
+
+
+def _bwd_lanes(qm, km, vm, delta_bth, lse, dom, *, heads, hkv, dp, scale, bq, bk,
+               interpret=False):
+    """qm/km/vm/dom merged [B, T, H*dp]; lse/delta_bth [B, T, Hq] natural-log /
+    fp32. Returns merged grads (dk/dv extended per QUERY head, fp32 — reduced over
+    head groups outside)."""
+    b, t, _ = qm.shape
+    n_rep = heads // hkv
+    g = _lanes_group(heads, n_rep, dp)
+    gkv = g // n_rep
+    nb = heads // g
+    # banded [B, n_bands, T, g] layout for lse/delta (see _fwd_lanes lse note)
+    lse2 = (lse * LOG2E).reshape(b, t, nb, g).transpose(0, 2, 1, 3)
+    delta = delta_bth.reshape(b, t, nb, g).transpose(0, 2, 1, 3)
+
+    # dK/dV: grid (b, head-group, kv_block) — the q sweep runs INSIDE the kernel
+    # over full-T band blocks (~1 MB), accumulating in fp32 registers and writing
+    # each output block ONCE (revisited fp32 HBM outputs measured +1.45 GB over
+    # budget at the stage-0 shapes)
+    dkv_dtype = km.dtype if n_rep == 1 else jnp.float32
+    dk_ex, dv_ex = pl.pallas_call(
+        functools.partial(_bwd_dkv_lanes_kernel, group=g, n_rep=n_rep, dp=dp, bq=bq),
+        grid=(b, heads // g, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, t, g * dp), lambda bi, hi, ki: (bi, 0, hi)),
+            pl.BlockSpec((1, bk, gkv * dp), lambda bi, hi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, bk, gkv * dp), lambda bi, hi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, t, g * dp), lambda bi, hi, ki: (bi, 0, hi)),
+            pl.BlockSpec((1, 1, t, g), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t, g), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, g * dp), lambda bi, hi, ki: (bi, ki, hi)),
+            pl.BlockSpec((1, bk, g * dp), lambda bi, hi, ki: (bi, ki, hi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, heads * dp), dkv_dtype),
+            jax.ShapeDtypeStruct((b, t, heads * dp), dkv_dtype),
+        ],
+        interpret=interpret,
+    )(qm, km, vm, dom, lse2, delta)
+
+    # dQ: grid (b, head-group, q_block) — kv sweep inside, one write per block
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_lanes_kernel, group=g, n_rep=n_rep, dp=dp,
+                          scale=scale, bk=bk),
+        grid=(b, heads // g, t // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, g * dp), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, t, gkv * dp), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((1, t, gkv * dp), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((1, bq, g * dp), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((1, 1, bq, g), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, bq, g), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, g * dp), lambda bi, hi, qi: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, t, heads * dp), qm.dtype),
+        interpret=interpret,
+    )(qm, km, vm, dom, lse2, delta)
+
+    return dq, dk_ex, dv_ex
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnames=("scale", "bq", "bk", "interpret")
+)
+def _flash_lanes(q, k, v, scale, bq, bk, interpret):
+    out, _ = _flash_lanes_fwd(q, k, v, scale, bq, bk, interpret)
+    return out
+
+
+def _flash_lanes_fwd(q, k, v, scale, bq, bk, interpret):
+    b, t, hq, d = q.shape
+    hkv = k.shape[2]
+    dp = _lanes_dp(d)
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)  # exp2 domain
+    qm = _merge_heads(qs, dp)
+    km = _merge_heads(k, dp)
+    vm = _merge_heads(v, dp)
+    om, lse = _fwd_lanes(qm, km, vm, heads=hq, hkv=hkv, dp=dp, bq=bq, bk=bk,
+                         interpret=interpret)
+    out = om.reshape(b, t, hq, dp)[..., :d]
+    # residuals hold the UNPADDED public tensors: keeping the merged (dp-padded)
+    # copies alive through the whole forward costs +4 GB at the stage-0 shapes
+    # (27 layers x 3 tensors x 78% pad, remat off); bwd re-merges for the price
+    # of three contiguous pads
+    return out, (q, k, v, out, lse)
+
+
+def _flash_lanes_bwd(scale, bq, bk, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    b, t, hq, d = g.shape
+    dp = _lanes_dp(d)
+    hkv = k.shape[2]
+    n_rep = hq // hkv
+    # the barrier keeps these re-merges from CSE-ing with the forward's merges —
+    # shared, the 27 layers' merged (dp-padded) tensors all stay alive from fwd
+    # to bwd and blow HBM by ~1.4 GB at the stage-0 shapes (measured); distinct,
+    # each layer's merged copies live only inside its own fwd/bwd region
+    q, k, v = jax.lax.optimization_barrier((q, k, v))
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    qm = _merge_heads(qs, dp)
+    km = _merge_heads(k, dp)
+    vm = _merge_heads(v, dp)
+    dom = _merge_heads(g.astype(q.dtype), dp)
+    # pad lanes are zero on both sides, so delta over d == delta over dp
+    delta = (out.astype(jnp.float32) * g.astype(jnp.float32)).sum(-1)
+    dqm, dk_ex, dv_ex = _bwd_lanes(qm, km, vm, delta, lse, dom, heads=hq, hkv=hkv,
+                                   dp=dp, scale=scale, bq=bq, bk=bk,
+                                   interpret=interpret)
+    dq = dqm.reshape(b, t, hq, dp)[..., :d].astype(g.dtype)
+    dk4 = dk_ex.reshape(b, t, hkv, n_rep, dp).sum(3)[..., :d].astype(g.dtype)
+    dv4 = dv_ex.reshape(b, t, hkv, n_rep, dp).sum(3)[..., :d].astype(g.dtype)
+    return dq, dk4, dv4
+
+
+_flash_lanes.defvjp(_flash_lanes_fwd, _flash_lanes_bwd)
+
+
 # ------------------------------------------------------------------- public
 
 
@@ -483,10 +820,21 @@ def flash_attention(
     (measured 7.04 vs 7.86 ms at T=1024 D=72)."""
     del q_offset  # self-attention only (checked by flash_attention_supported)
     b, t, hq, d = q.shape
+    hkv = k.shape[2]
     if scale is None:
         scale = d ** -0.5
     if bq == DEFAULT_BQ and bk == DEFAULT_BK:
         bq, bk = _auto_blocks(t, causal=causal, has_mask=kv_mask is not None)
+    # merged-lane path gets its OWN block size: its q/o blocks carry ALL heads
+    # (bq x H*dp), so the auto choice's 1024-blocks blow the VMEM gate — 256 keeps
+    # the forward (whole-KV + q/o blocks) near 10 MB at the so400m shape
+    bq_l = bk_l = min(256, t)
+    if _lanes_supported(b, t, hq, hkv, d, causal=causal, window=window,
+                        kv_mask=kv_mask, bq=bq_l, bk=bk_l):
+        # merged-lane path: heads live in 128-aligned lane bands, so no layout
+        # transposes exist at the kernel boundary (the BHTD path's swapaxes
+        # materialized as 38.8 ms/step of copies in the r4 stage-0 op table)
+        return _flash_lanes(q, k, v, scale, bq_l, bk_l, interpret)
     qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
     out = _flash(qt, kt, vt, kv_mask, scale, causal, window, bq, bk, interpret)
     return out.swapaxes(1, 2)

@@ -79,6 +79,76 @@ def test_flash_grads_match_reference(case):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
 
 
+@pytest.mark.parametrize("hq,hkv,d", [(4, 4, 128), (4, 2, 128), (8, 8, 256)])
+def test_flash_bthd_native_layout_fwd_and_grads(hq, hkv, d):
+    """The merged-lane path (non-causal unmasked exact blocks — the SigLIP
+    tower case that previously paid 38.8 ms/step of layout copies): must route
+    through _flash_lanes and match the XLA reference for fwd + all grads,
+    including the GQA head-group reduction."""
+    from projectiontrainer_tpu.ops import flash_attention as FA
+
+    t = 128  # multiple of the block => t_pad == t => bthd gate opens
+    q, k, v = make_qkv(b=2, t=t, hq=hq, hkv=hkv, d=d, seed=7)
+    assert FA._lanes_supported(2, t, hq, hkv, d, causal=False, window=None,
+                               kv_mask=None, bq=64, bk=64)
+
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, bq=64, bk=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss(lambda q, k, v: dot_product_attention(q, k, v)),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(
+        loss(lambda q, k, v: flash_attention(q, k, v, bq=64, bk=64, interpret=True)),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
+
+
+def test_flash_lanes_padded_d72_direct():
+    """The lanes kernels' zero-pad branch (_merge_heads with dp != d) stays correct
+    even though the public gate routes D=72 to BHTD — exercised directly so a
+    future gate change can't silently ship an untested pad path."""
+    from projectiontrainer_tpu.ops.flash_attention import _flash_lanes
+
+    q, k, v = make_qkv(b=2, t=128, hq=8, hkv=8, d=72, seed=11)
+    ref = dot_product_attention(q, k, v)
+    out = _flash_lanes(q, k, v, 72 ** -0.5, 64, 64, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **TOL)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss(lambda q, k, v: dot_product_attention(q, k, v)),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_l = jax.grad(loss(lambda q, k, v: _flash_lanes(q, k, v, 72 ** -0.5, 64, 64,
+                                                     True)),
+                   argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_l, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), err_msg=name, **TOL)
+
+
+def test_flash_bthd_gate():
+    from projectiontrainer_tpu.ops.flash_attention import _lanes_supported
+
+    ok = dict(causal=False, window=None, kv_mask=None, bq=64, bk=64)
+    assert _lanes_supported(2, 128, 4, 4, 128, **ok)
+    assert _lanes_supported(2, 128, 8, 8, 256, **ok)
+    # causal / masked / windowed / ragged shapes stay on the BHTD path
+    assert not _lanes_supported(2, 128, 4, 4, 128, **{**ok, "causal": True})
+    assert not _lanes_supported(2, 128, 4, 4, 128, **{**ok, "window": 32})
+    assert not _lanes_supported(2, 150, 4, 4, 128, **ok)  # t_pad != t
+    # non-128-multiple head dims (so400m 72, ViT-L 64): the padded merge was
+    # measured a net loss (layout ops + 1.78x traffic + HBM overflow) — BHTD
+    assert not _lanes_supported(2, 128, 16, 16, 72, **ok)
+    assert not _lanes_supported(2, 128, 4, 4, 64, **ok)
+    # VMEM blow-up (long t x many heads) falls back
+    assert not _lanes_supported(2, 8192, 32, 32, 128, **ok)
+
+
 def test_flash_grads_with_mask():
     q, k, v = make_qkv(b=2, t=64, hq=2, hkv=2, d=64, seed=3)
     kv_mask = jnp.asarray(np.random.default_rng(2).random((2, 64)) > 0.3)
