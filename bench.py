@@ -1627,7 +1627,8 @@ def _parse_remat(value, *, default, allow_int: bool):
     if value.isdigit():
         if allow_int:
             return int(value)
-        raise SystemExit(f"--remat {value}: integer (partial) remat is stage0-only")
+        raise SystemExit(f"--remat {value}: integer (partial) remat is not "
+                         "supported by this mode")
     raise SystemExit(f"--remat must be full|dots|none{'|<int>' if allow_int else ''}, "
                      f"got {value!r}")
 
@@ -1666,12 +1667,14 @@ def main(argv=None):
                              "Default: 20 for the driver-recorded stage1 mode, 0 "
                              "otherwise")
     parser.add_argument("--remat", type=str, default=None,
-                        help="'full' | 'dots' | 'none' | integer N (stage0 only: "
-                             "checkpoint the first N vision layers — partial remat). "
-                             "Per-mode defaults when omitted: stage1 'none' (measured "
-                             "fastest at batch 8 on v5e: 22.8 img/s vs 21.4 'dots'), "
-                             "stage0 'none', stage2 'none' (1B fits HBM un-remated: "
-                             "347 vs 439 ms), stage2-8b 'full' (OOMs otherwise)")
+                        help="'full' | 'dots' | 'none' | integer N (partial remat: "
+                             "stage0 = checkpoint the first N VISION layers; stage2 "
+                             "modes = the first N DECODER layers). Per-mode defaults "
+                             "when omitted: stage1 'none' (22.8 img/s vs 21.4 'dots' "
+                             "at batch 8), stage0 'none', stage2 'none' (1B fits HBM "
+                             "un-remated: 347 vs 439 ms), stage2-8b 'full' (un-remated "
+                             "OOMs; N=31 is the measured batch-2 frontier: 1318 vs "
+                             "1348 ms, +2.2%%, 446 MB short of N=28)")
     parser.add_argument("--ln", choices=["xla", "fused"], default=None,
                         help="stage0: LayerNorm implementation (fused = Pallas "
                              "fwd+bwd kernel, ops/fused_layernorm.py). Default: "
@@ -1776,11 +1779,13 @@ def main(argv=None):
                                  windows=args.windows, dispatch=args.dispatch,
                                  spacing=args.window_spacing,
                                  # 1B fits without remat (347 vs 439ms, +27% tok/s);
-                                 # the 8B OOMs un-remated and keeps 'full'
+                                 # the 8B OOMs un-remated and keeps 'full'; an
+                                 # integer N partially remats the first N DECODER
+                                 # layers (memory/speed dial at the HBM frontier)
                                  remat=_parse_remat(
                                      args.remat,
                                      default=model == "qwen3-8b",
-                                     allow_int=False))
+                                     allow_int=True))
         extra = result.pop("extra", "")
         result["vs_baseline"] = None
         print(json.dumps(result))

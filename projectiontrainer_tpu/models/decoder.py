@@ -426,13 +426,21 @@ def forward(
         lora_layer = lora["layers"][i] if lora is not None else None
         layer_rng = jax.random.fold_in(lora_rng, i) if use_dropout else None
         fn = layer_fn
-        if remat and layer_cache is None:
-            # remat=True -> full per-layer rematerialization (min memory);
-            # remat='dots' -> save matmul outputs, recompute elementwise only
-            # (near-no-remat speed at a fraction of the activation memory)
+        # remat=True -> full per-layer rematerialization (min memory);
+        # remat='dots' -> save matmul outputs, recompute elementwise only;
+        # remat=<int N> -> PARTIAL: fully remat the first N layers, keep the rest
+        # un-remated — a memory/speed dial for models that almost fit un-remated
+        # (8B QLoRA: full remat re-runs every attention fwd + ffn in the backward;
+        # each un-remated layer skips its recompute at ~350-400 MB of saved
+        # activations, so N walks the HBM frontier). NOTE: True == 1 in Python,
+        # so test identity before the int branch.
+        layer_remat = (
+            remat if isinstance(remat, (bool, str)) else i < int(remat)
+        )
+        if layer_remat and layer_cache is None:
             policy = (
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if remat == "dots" else None
+                if layer_remat == "dots" else None
             )
             fn = jax.checkpoint(layer_fn, static_argnums=(2,), policy=policy)
         x, nc = fn(x, params["layers"][i], cfg.layer_types[i], layer_cache, lora_layer,

@@ -156,6 +156,13 @@ def make_train_step(loss_fn: Callable, tx, *, donate: bool = True, trainable_mas
 # ---------------------------------------------------------------------------- stage 1
 
 
+def _vis_remat(remat):
+    """Decoder-side INTEGER (partial) remat doesn't apply to the vision tower — an
+    int means 'remat the first N DECODER layers'; the tower keeps full remat (its
+    activations are small next to the decoder's and its recompute is cheap)."""
+    return True if isinstance(remat, int) and not isinstance(remat, bool) else remat
+
+
 def _flash_ctx(mesh):
     """Trace-time shard_map context for the Pallas flash kernel on multi-device
     meshes (core.mesh.flash_shard_context); a no-op on single-device/no mesh."""
@@ -264,7 +271,8 @@ def stage1_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, remat: bool = True,
             return _stage1_body(params, batch)
 
     def _stage1_body(params, batch):
-        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
+        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"],
+                                   remat=_vis_remat(remat))
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
             caption_ids=batch["caption_ids"],
@@ -311,7 +319,8 @@ def stage2_loss(cfg: vlm.VLMConfig, pad_token_id: int, *, lora_cfg=None,
             return _stage2_body(params, batch, rng)
 
     def _stage2_body(params, batch, rng):
-        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"], remat=remat)
+        visual = vlm.visual_embeds(params, cfg, batch["pixel_values"],
+                                   remat=_vis_remat(remat))
         embeds, mask, labels = vlm.build_sequence(
             params, cfg, visual, pad_token_id=pad_token_id,
             question_ids=batch["question_ids"], answer_ids=batch["answer_ids"],

@@ -95,12 +95,19 @@ class Stage2Trainer:
         table_frozen = not self.base_policy.train_llm
         cdtype = common.compute_dtype_from_config(cfg)
         remat_arg = getattr(cfg, "remat", "full")
-        try:
-            remat = {"full": True, "dots": "dots", "none": False}[remat_arg]
-        except KeyError:
-            raise ValueError(
-                f"--remat must be one of full|dots|none, got {remat_arg!r}"
-            ) from None
+        if isinstance(remat_arg, str) and remat_arg.isdigit():
+            # integer N: PARTIAL remat — checkpoint the first N decoder layers,
+            # keep the rest un-remated (memory/speed dial for models near the
+            # HBM frontier; the vision tower keeps full remat either way)
+            remat = int(remat_arg)
+        else:
+            try:
+                remat = {"full": True, "dots": "dots", "none": False}[remat_arg]
+            except KeyError:
+                raise ValueError(
+                    f"--remat must be one of full|dots|none|<int N layers>, "
+                    f"got {remat_arg!r}"
+                ) from None
         loss_fn = steps.stage2_loss(
             vlm_cfg, self.pad_id, lora_cfg=self.lora_cfg, logits_chunk=logits_chunk,
             table_frozen=table_frozen, compute_dtype=cdtype, mesh=self.mesh,

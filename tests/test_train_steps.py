@@ -445,6 +445,37 @@ def test_partial_remat_matches_plain_forward_and_grads():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_decoder_partial_remat_matches_plain():
+    """stage2_loss remat=<int N> (checkpoint only the first N DECODER layers — the
+    8B memory/speed dial) is numerics-neutral: loss and grads bit-equal to
+    remat=False and remat=True."""
+    from projectiontrainer_tpu import testing as T
+
+    cfg = T.tiny_vlm_cfg(llm_layers=3)
+    params = vlm.init(jax.random.key(9), cfg)
+    rng = np.random.default_rng(9)
+    batch = {
+        "pixel_values": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32)),
+        "question_ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size, size=(2, 6))),
+        "answer_ids": jnp.asarray(rng.integers(1, cfg.llm.vocab_size, size=(2, 8))),
+    }
+
+    def run(remat):
+        loss_fn = steps.stage2_loss(cfg, 0, remat=remat, table_frozen=False)
+        val, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, None)[0])(params)
+        return float(val), grads
+
+    v_plain, g_plain = run(False)
+    for remat in (1, 2, True):
+        v_r, g_r = run(remat)
+        assert v_r == v_plain, f"remat={remat}"
+        # recompute reassociates float ops (XLA fuses the recomputed fwd
+        # differently), so grads are allclose rather than bitwise
+        for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_plain)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
+
+
 def test_swap_optimizer_carries_surviving_group_moments():
     """swap_optimizer (the 1EpochUnfreeze / --train_ve_first_epoch epoch boundary)
     keeps the surviving groups' Adam mu/nu and bias-correction counts and drops the
