@@ -363,6 +363,65 @@ def test_cls_trainer_resume(corpus, tmp_path):
     assert t2.global_step > step_after
 
 
+def test_stage2_trainer_full_joint_fsdp_end_to_end(corpus, tmp_path):
+    """--fsdp full-joint trainer wiring on a 4-way data mesh: the step runs with
+    explicit param shardings (reduce-scattered grads / shard-local updates), the
+    large decoder leaves really carry the data axis, and the epoch completes with
+    a finite loss + reference-layout checkpoint. Uses FSDP-wide dims so the
+    min-size gate doesn't silently replicate everything."""
+    from jax.sharding import PartitionSpec as P
+
+    from projectiontrainer_tpu.models import decoder as dec
+    from projectiontrainer_tpu.models import projector as proj
+    from projectiontrainer_tpu.train.trainer_stage2 import Stage2Trainer
+
+    tmp, root, manifest = corpus
+    tok = T.word_tokenizer()
+    cfg = Stage2Config(
+        image_root=root, train_json=manifest, val_json=None,
+        output_dir=str(tmp_path / "s2fsdp"), img_size=32, batch_size=4, num_epochs=1,
+        learning_rate=1e-3, gradient_accumulation_steps=1, max_q_len=16, max_a_len=8,
+        enable_qlora=False, unfreeze_llm=True, unfreeze_projection_layer=True,
+        train_ve_first_epoch=True, fsdp=True, num_workers=2, logging_steps=1,
+        mesh_data=4, mesh_model=1, disable_wandb=True, remat="1",
+    )
+    llm = dec.gemma3_config(
+        vocab_size=len(tok.get_vocab()) + (128 - len(tok.get_vocab()) % 128),
+        hidden_size=128, intermediate_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=32, sliding_window=8, query_pre_attn_scalar=32,
+    )
+    vis = T.tiny_vision_cfg(hidden=128)
+    vcfg = vlm.VLMConfig(
+        vision=vis,
+        projector=proj.ProjectorConfig(vision_dim=128, llm_dim=128,
+                                       expansion_factor=4),
+        llm=llm,
+    )
+    params = vlm.init(jax.random.key(2), vcfg)
+    mesh = build_mesh(MeshConfig(data=4, model=1), devices=jax.devices()[:4])
+    mk = lambda: datasets.Stage2VQADataset.from_json(
+        manifest, image_root=root, tokenizer=tok, image_size=32, max_q_len=16,
+        max_a_len=8
+    )
+    trainer = Stage2Trainer(
+        cfg, vlm_cfg=vcfg, params=params, tokenizer=tok,
+        train_dataset=mk(), mesh=mesh,
+    )
+    assert trainer._param_shardings is not None
+    # a large decoder kernel really shards over the data axis
+    q = trainer.state["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
+    assert "data" in tuple(q.sharding.spec), q.sharding
+    out = trainer.train()
+    assert np.isfinite(out["train/epoch_loss"])
+    # updated params kept the FSDP layout through the step (spec may normalize
+    # away the trailing size-1 model axis — compare device-level equivalence)
+    q2 = trainer.state["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
+    assert q2.sharding.is_equivalent_to(q.sharding, q2.ndim)
+    # full-LLM fine-tune exports the dense decoder in the reference layout
+    ckpt = tmp_path / "s2fsdp" / "checkpoint-epoch_0"
+    assert os.path.exists(ckpt / "projection_layer" / "projector_best.bin")
+
+
 def test_stage2_save_steps_mid_epoch_resume_equivalence(corpus, tmp_path):
     """--save_steps preemption safety: die mid-epoch right after a step_K checkpoint,
     build a fresh trainer with --resume, and the final params must EQUAL an
