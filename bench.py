@@ -1729,7 +1729,7 @@ def main(argv=None):
             result = _run_stage0_ops(16 if args.batch == 8 else args.batch,
                                      ln=args.ln or "fused")
         elif args.mode == "serve":
-            result = _run_serve(min(args.batch, 4), n_clients=args.serve_clients,
+            result = _run_serve(args.batch, n_clients=args.serve_clients,
                                 n_requests=args.serve_requests,
                                 max_new=args.gen_max_new if args.gen_max_new != 1024 else 64,
                                 beams=args.gen_beams if args.gen_beams != 3 else 1,
