@@ -1821,16 +1821,32 @@ def main(argv=None):
     # episode. Tiny smoke shapes skip the probe (meaningless ratios; note the axon
     # sitecustomize forces the TPU backend even under JAX_PLATFORMS=cpu).
     state, intr_a = (state, None) if tiny else _intrinsic_probe(step, state, batch_data)
-    elapsed, state, loss, window_ms, calib = _timed_windows(
-        step, state, batch_data, args.steps, windows=args.windows,
-        dispatch=args.dispatch, calibrate=not tiny and jax.default_backend() == "tpu",
-        spacing=args.window_spacing,
-    )
+    probes = [intr_a] if intr_a else []
+    best = None
+    for attempt in range(3):
+        elapsed, state, loss, window_ms, calib = _timed_windows(
+            step, state, batch_data, args.steps, windows=args.windows,
+            dispatch=args.dispatch,
+            calibrate=not tiny and jax.default_backend() == "tpu",
+            spacing=args.window_spacing,
+        )
+        if best is None or elapsed < best[0]:
+            best = (elapsed, window_ms, calib)
+        # Catastrophic-contention guard: a third chip state was observed where even
+        # the pure-MXU probe collapses to ~0.04 (25x; step 9.9 s vs 0.37) — another
+        # tenant saturating the chip. Recording that would poison the round's
+        # artifact, so when the probe itself is this sick, wait and re-measure
+        # (up to 2 retries), then keep the best attempt.
+        if tiny or calib is None or max(calib["mxu_health"]) >= 0.5:
+            break
+        print(f"# MXU probe {calib['mxu_health']} — catastrophic contention; "
+              f"retry {attempt + 1}/2 after 90s", file=sys.stderr)
+        time.sleep(90)
+    elapsed, window_ms, calib = best
     state, intr_b = (state, None) if tiny else _intrinsic_probe(step, state, batch_data)
-    intrinsic = min(
-        (x for x in (intr_a, intr_b) if x),
-        key=lambda r: r["intrinsic_step_ms"], default=None,
-    )
+    if intr_b:
+        probes.append(intr_b)
+    intrinsic = min(probes, key=lambda r: r["intrinsic_step_ms"], default=None)
 
     n_chips = jax.device_count()
     images_per_sec = batch * args.steps / elapsed
