@@ -109,6 +109,58 @@ def main():
     assert s2_expected == -(-s2_plan_batches // s2cfg.gradient_accumulation_steps)
     s2_result = s2.train()
 
+    # ---- FSDP leg: full-joint step with params + Adam moments sharded over the
+    # data axis ACROSS PROCESSES — the cross-host reduce-scatter/all-gather path
+    # the single-process virtual-mesh tests can't exercise. FSDP-wide dims so the
+    # min-size gate actually shards leaves.
+    import numpy as np
+
+    from projectiontrainer_tpu.models import decoder as dec
+    from projectiontrainer_tpu.models import projector as proj
+    from projectiontrainer_tpu.parallel import param_shardings, shard_batch, shard_params
+    from projectiontrainer_tpu.train import masks as masks_mod, optim, steps
+
+    fllm = dec.gemma3_config(
+        vocab_size=1024, hidden_size=128, intermediate_size=512, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, sliding_window=8,
+        query_pre_attn_scalar=32,
+    )
+    fvis = T.tiny_vision_cfg(hidden=128)
+    fcfg = vlm.VLMConfig(
+        vision=fvis,
+        projector=proj.ProjectorConfig(vision_dim=128, llm_dim=128, expansion_factor=4),
+        llm=fllm,
+    )
+    fparams = vlm.init(jax.random.key(7), fcfg)  # same key -> same init on both hosts
+    placed = shard_params(fparams, mesh, fsdp=True)
+    fshard = param_shardings(fparams, mesh, fsdp=True)
+    gate = placed["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
+    fsdp_sharded = "data" in tuple(gate.sharding.spec)
+    labels = masks_mod.stage2_labels(
+        placed, masks_mod.Stage2Freeze(train_llm=True, use_lora=False,
+                                       train_projector=True, train_vision=True)
+    )
+    ftx, _ = optim.single_group_optimizer(labels, 1e-3, total_steps=10, clip_norm=1.0)
+    floss = steps.stage2_loss(fcfg, 0, remat=False, logits_chunk=64, table_frozen=False)
+    fstep = steps.make_train_step(floss, ftx, donate=False,
+                                  trainable_mask=masks_mod.bool_mask(labels),
+                                  param_shardings=fshard)
+    fstate = steps.init_state(placed, ftx)
+    nprng = np.random.default_rng(7)
+    # global batch 8 = 4 local rows per process; SAME global data on both hosts
+    # (deterministic rng) -> replicated loss must agree exactly
+    gbatch = {
+        "pixel_values": nprng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "question_ids": nprng.integers(1, fllm.vocab_size, size=(8, 6)),
+        "answer_ids": nprng.integers(1, fllm.vocab_size, size=(8, 8)),
+    }
+    local = {k: v[proc_id * 4:(proc_id + 1) * 4] for k, v in gbatch.items()}
+    fbatch = shard_batch(local, mesh)
+    fstate, fsdp_loss, _ = fstep(fstate, fbatch, jax.random.key(8))
+    fsdp_loss = float(fsdp_loss)
+    g2 = fstate["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
+    fsdp_kept = g2.sharding.is_equivalent_to(gate.sharding, g2.ndim)
+
     out = {
         "process": proc_id,
         "expected_steps": int(expected_steps),
@@ -119,6 +171,9 @@ def main():
         "s2_expected_steps": int(s2_plan_batches),
         "s2_actual_steps": int(s2.global_step),
         "s2_epoch_loss": float(s2_result["train/epoch_loss"]),
+        "fsdp_loss": fsdp_loss,
+        "fsdp_sharded": bool(fsdp_sharded),
+        "fsdp_layout_kept": bool(fsdp_kept),
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

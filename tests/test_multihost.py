@@ -99,3 +99,9 @@ def test_two_process_stage1_epoch(tmp_path):
         assert r["s2_actual_steps"] == r["s2_expected_steps"] > 0
         assert np.isfinite(r["s2_epoch_loss"])
     assert results[0]["s2_epoch_loss"] == results[1]["s2_epoch_loss"]
+    # FSDP leg: params really sharded over the cross-process data axis, the layout
+    # survived the update, and the replicated loss agrees bit-for-bit across hosts
+    for r in results:
+        assert r["fsdp_sharded"] and r["fsdp_layout_kept"]
+        assert np.isfinite(r["fsdp_loss"])
+    assert results[0]["fsdp_loss"] == results[1]["fsdp_loss"]
