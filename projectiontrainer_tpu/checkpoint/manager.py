@@ -208,6 +208,38 @@ class CheckpointManager:
         template = jax.tree.map(to_struct, meta)
         return self._ckptr.restore(path, template)["params"]
 
+    def detect_quant_method(self) -> Optional[str]:
+        """Infer the quantization format of the newest saved state from its on-disk
+        leaf names: 'qvalues_block' -> nf4-mirror, 'packed_nf4' -> nf4,
+        'qvalues' -> int8, none -> None (dense/bf16 base).
+
+        Resume must rebuild the SAME packed leaf structure the checkpoint holds —
+        a config default that has moved since the save (e.g. the r4 'nf4' ->
+        'nf4-mirror' flip) would otherwise make the restore template mismatch the
+        stored tree (advisor r4). Callers override ``cfg.quant_method`` with this
+        before quantizing the freshly imported base weights."""
+        self.wait()  # an in-flight async save_step commits its dir in the background
+        name = None
+        step = self.latest_step()
+        if step is not None:
+            name = f"step_{step}"
+        elif self.latest_epoch() is not None:
+            name = f"epoch_{self.latest_epoch()}"
+        if name is None:
+            return None
+        meta = self._ckptr.metadata(os.path.join(self.directory, name)).item_metadata.tree
+        keys = {
+            str(getattr(path[-1], "key", path[-1]))
+            for path, _ in jax.tree_util.tree_flatten_with_path(meta)[0]
+        }
+        if "qvalues_block" in keys:
+            return "nf4-mirror"
+        if "packed_nf4" in keys:
+            return "nf4"
+        if "qvalues" in keys:
+            return "int8"
+        return None
+
     def latest_epoch(self) -> Optional[int]:
         epochs = []
         for d in os.listdir(self.directory):

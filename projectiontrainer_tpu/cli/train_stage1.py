@@ -19,6 +19,23 @@ def main(argv=None):
     cfg = from_args(Stage1Config, args)
     logger = setup_logging()
 
+    if cfg.resume and cfg.enable_qlora:
+        # saved quant format wins over the config default — the restore template
+        # must match the checkpoint's packed leaf structure (advisor r4)
+        import os
+
+        from projectiontrainer_tpu.checkpoint import CheckpointManager
+
+        saved = CheckpointManager(
+            os.path.join(cfg.output_dir, "orbax")).detect_quant_method()
+        if saved is not None and saved != cfg.quant_method:
+            logger.warning(
+                "checkpoint in %s was saved with quant_method=%s; overriding the "
+                "configured %s so the resume template matches the stored tree",
+                cfg.output_dir, saved, cfg.quant_method,
+            )
+            cfg.quant_method = saved
+
     vlm_cfg, params, _ = setup.build_vlm(
         cfg.vision_model_name, cfg.llm_name,
         expansion_factor=cfg.expansion_factor, seed=cfg.seed,

@@ -21,6 +21,22 @@ def main(argv=None):
     cfg = from_args(Stage2Config, args)
     logger = setup_logging()
 
+    if cfg.resume and cfg.enable_qlora:
+        # the restore template must match the checkpoint's packed leaf structure;
+        # the saved quant format wins over the config default (advisor r4: the
+        # nf4 -> nf4-mirror default flip broke resume of pre-flip checkpoints)
+        from projectiontrainer_tpu.checkpoint import CheckpointManager
+
+        saved = CheckpointManager(
+            os.path.join(cfg.output_dir, "orbax")).detect_quant_method()
+        if saved is not None and saved != cfg.quant_method:
+            logger.warning(
+                "checkpoint in %s was saved with quant_method=%s; overriding the "
+                "configured %s so the resume template matches the stored tree",
+                cfg.output_dir, saved, cfg.quant_method,
+            )
+            cfg.quant_method = saved
+
     vlm_cfg, params, _ = setup.build_vlm(
         cfg.vision_model_name, cfg.llm_name,
         stage1_projector_path=cfg.stage1_projector_path or None, seed=cfg.seed,

@@ -596,9 +596,22 @@ def _lanes_supported(b, t, hq, hkv, d, *, causal, window, kv_mask, bq, bk) -> bo
         return False
     n_rep = hq // hkv
     g = _lanes_group(hq, n_rep, dp)
-    # per-band blocks (q/o/k/v ~ bq|t x G*dp bf16), double-buffered by the pipeline
-    vmem = (2 * t * (g // n_rep) * dp + 2 * bq_ * g * dp) * 2 * 2
-    return vmem < 10 * 1024 * 1024
+    gkv = g // n_rep
+    # per-band blocks, double-buffered by the Mosaic pipeline (x2). The gate must
+    # model the WORST kernel of the path, which under GQA is the backward dK/dV one:
+    # it holds full-T q AND do blocks at g QUERY heads (n_rep x larger than the
+    # forward's gkv-head k/v blocks) plus bk-sized k/v in and dk/dv out blocks
+    # (fp32 when n_rep > 1) — advisor r4: shapes like t=4096,hq=8,hkv=2,d=128
+    # passed the forward-only estimate while the backward hit ~17 MB scoped VMEM.
+    fwd = (2 * t * gkv * dp + 2 * bq_ * g * dp) * 2 * 2
+    out_bytes = 4 if n_rep > 1 else 2
+    bwd_dkv = (
+        2 * t * g * dp * 2            # q + do, full T at g query heads, bf16
+        + 2 * bk_ * gkv * dp * 2      # k + v blocks
+        + 2 * bk_ * g * dp * out_bytes  # dk + dv output blocks (fp32 under GQA)
+        + 2 * t * g * 4               # lse + delta bands, fp32
+    ) * 2
+    return max(fwd, bwd_dkv) < 10 * 1024 * 1024
 
 
 def _fwd_lanes(qm, km, vm, *, heads, hkv, dp, bq, bk, interpret=False):

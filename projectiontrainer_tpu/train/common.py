@@ -103,6 +103,21 @@ def feed(dataset, cfg: CommonConfig, mesh, *, epoch: int, batcher=None,
     )
 
 
+def left_align_padding(ids, pad_id: int) -> "np.ndarray":
+    """Reorder each row so pad tokens come FIRST (left padding): ``[pad...][tokens]``.
+
+    Generation prefixes require left padding — the last prefix slot must be a real
+    token, because decode reads next-token logits from ``hidden[:, -1]`` (the
+    reference forces ``padding_side='left'`` for generation, Stage2/trainer.py:499-505).
+    Relative token order is preserved (stable sort on the boolean ``id != pad``:
+    False/pad rows sort first)."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    order = np.argsort(ids != pad_id, axis=1, kind="stable")
+    return np.take_along_axis(ids, order, axis=1)
+
+
 def to_host(x) -> "np.ndarray":
     """Materialize a (possibly globally-sharded) array on every host as numpy.
     Single-process: plain np.asarray. Multi-host: all-gather of the addressable shards

@@ -60,8 +60,26 @@ class Stage2Trainer:
                     jax.random.key(cfg.seed), vlm_cfg.llm, self.lora_cfg
                 )
 
-        params, self._param_shardings = common.place_params(params, self.mesh, cfg)
         self.base_policy = cfg.freeze_policy()
+        # fp32-master policy (default) for full-parameter fine-tunes: the trainable
+        # LLM (and the VE when it trains on epoch 0) is STORED fp32, so its Adam
+        # moments — created zeros_like — are fp32 too, matching the reference where
+        # accelerate bf16 keeps fp32 masters + fp32 optimizer state
+        # (Stage2/trainer.py:407-443 computes in fp32 on fp32-master DDP params).
+        # Compute still runs bf16 (the loss casts via dtypes.cast_compute_params).
+        # 'bf16' is the explicit memory opt-in (single-chip 1B operating point).
+        master = getattr(cfg, "master_dtype", "fp32")
+        if master not in ("fp32", "bf16"):
+            raise ValueError(f"--master_dtype must be fp32|bf16, got {master!r}")
+        if self.base_policy.train_llm and not self.base_policy.use_lora:
+            import jax.numpy as jnp
+
+            from projectiontrainer_tpu.core import dtypes
+            target = jnp.float32 if master == "fp32" else jnp.bfloat16
+            params["llm"] = dtypes.cast_compute_params(params["llm"], target)
+            if cfg.train_ve_first_epoch:
+                params["vision"] = dtypes.cast_compute_params(params["vision"], target)
+        params, self._param_shardings = common.place_params(params, self.mesh, cfg)
 
         # Deterministic per-epoch bucket plans from token lengths: every host computes
         # the same plan, so multi-host bucket shapes/batch counts agree and the cosine
@@ -329,9 +347,10 @@ class Stage2Trainer:
         params = self.state["params"]
         cfg = self.cfg
         q_ids = common.to_host(batch["question_ids"])
-        # left-shift question padding: [q pad][visual q] ordering must keep last slot valid
-        order = np.argsort(q_ids == self.pad_id, axis=1, kind="stable")
-        q_left = np.take_along_axis(q_ids, order, axis=1)
+        # LEFT-pad the question ids: the last prefix slot — where decode._prefill reads
+        # next-token logits — must be a real token (vlm.question_prefix contract;
+        # reference forces padding_side='left' for generation, Stage2/trainer.py:499-505)
+        q_left = common.left_align_padding(q_ids, self.pad_id)
         import jax.numpy as jnp
 
         # one jitted program for the [visual; question] prefix (eager tower forward

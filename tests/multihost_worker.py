@@ -161,6 +161,51 @@ def main():
     g2 = fstate["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
     fsdp_kept = g2.sharding.is_equivalent_to(gate.sharding, g2.ndim)
 
+    # ---- FSDP TRAINER leg (advisor r4 #2): the full Stage2Trainer --fsdp path
+    # including the epoch-boundary reference-layout EXPORT, whose leaves are sharded
+    # over the CROSS-HOST data axis — to_host must collectively gather them before
+    # np.asarray (a raw np.asarray on a non-addressable array raises). Same fcfg
+    # dims so the 64Ki FSDP gate actually shards the MLP kernels.
+    ft_cfg = Stage2Config(
+        image_root=root, train_json=manifest,
+        output_dir=os.path.join(workdir, "out_fsdp"), img_size=32, batch_size=1,
+        num_epochs=1, max_q_len=12, max_a_len=8, fsdp=True, unfreeze_llm=True,
+        unfreeze_projection_layer=True, num_workers=2, mesh_data=-1,
+        disable_wandb=True, logging_steps=1000,
+    )
+    ft_ds = datasets.Stage2VQADataset(
+        samples[:8], image_root=root, tokenizer=tok, image_size=32,
+        max_q_len=12, max_a_len=8,
+    )
+    ft = Stage2Trainer(
+        ft_cfg, vlm_cfg=fcfg, params=vlm.init(jax.random.key(7), fcfg), tokenizer=tok,
+        train_dataset=ft_ds, val_dataset=None, mesh=mesh,
+    )
+    ft_gate = ft.state["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"]
+    ft_sharded = "data" in tuple(ft_gate.sharding.spec)
+    ft_result = ft.train()  # runs save_checkpoint -> export at the epoch boundary
+    from jax.experimental import multihost_utils
+
+    # process 0 alone writes the export files; fence before the other host reads
+    multihost_utils.sync_global_devices("fsdp_export_written")
+    exported = os.path.join(
+        ft_cfg.output_dir, "checkpoint-epoch_0", "language_model", "model.safetensors"
+    )
+    # the export must hold the FULL (gathered) kernel, equal on every host to the
+    # collectively gathered live param
+    from safetensors.numpy import safe_open as _so
+
+    with _so(exported, framework="numpy") as f:
+        exp_gate = f.get_tensor("layers/0/mlp/gate_proj/kernel")
+    from projectiontrainer_tpu.train import common as tcommon
+
+    live_gate = tcommon.to_host(
+        ft.state["params"]["llm"]["layers"][0]["mlp"]["gate_proj"]["kernel"])
+    export_matches = (
+        exp_gate.shape == live_gate.shape
+        and bool(np.allclose(exp_gate, np.asarray(live_gate, exp_gate.dtype)))
+    )
+
     out = {
         "process": proc_id,
         "expected_steps": int(expected_steps),
@@ -174,6 +219,9 @@ def main():
         "fsdp_loss": fsdp_loss,
         "fsdp_sharded": bool(fsdp_sharded),
         "fsdp_layout_kept": bool(fsdp_kept),
+        "fsdp_trainer_loss": float(ft_result["train/epoch_loss"]),
+        "fsdp_trainer_sharded": bool(ft_sharded),
+        "fsdp_export_matches": bool(export_matches),
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

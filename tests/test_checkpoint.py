@@ -356,3 +356,30 @@ def test_async_step_save_snapshot_and_flush(tmp_path):
     rb = m2.restore("best", state2)
     np.testing.assert_array_equal(np.asarray(rb["params"]["w"]),
                                   np.asarray(state2["params"]["w"]))
+
+
+def test_detect_quant_method(tmp_path):
+    """Resume must rebuild the SAME packed leaf structure the checkpoint holds — the
+    saved quant format is detected from on-disk leaf names and overrides a config
+    default that moved since the save (advisor r4: nf4 -> nf4-mirror default flip)."""
+    from projectiontrainer_tpu.ops import quant
+
+    kernel = jax.random.normal(jax.random.key(0), (64, 8))
+    cases = {
+        "nf4": quant.quantize_nf4(kernel),
+        "nf4-mirror": quant.nf4_int8_mirror(quant.quantize_nf4(kernel)),
+        "int8": quant.quantize(kernel),
+        None: {"kernel": kernel},
+    }
+    for expected, leaf in cases.items():
+        d = tmp_path / str(expected)
+        mgr = CheckpointManager(str(d))
+        mgr.save_periodic(0, {"params": {"llm": {"q_proj": leaf}}, "step": jnp.asarray(1)})
+        assert mgr.detect_quant_method() == expected
+    # empty directory: nothing saved yet -> None
+    assert CheckpointManager(str(tmp_path / "empty")).detect_quant_method() is None
+    # step checkpoints are preferred over epoch ones (they are newer by contract)
+    mgr = CheckpointManager(str(tmp_path / "mixed"))
+    mgr.save_periodic(0, {"params": {"q": cases["nf4"]}, "step": jnp.asarray(1)})
+    mgr.save_step(5, {"params": {"q": cases["nf4-mirror"]}, "step": jnp.asarray(5)})
+    assert mgr.detect_quant_method() == "nf4-mirror"

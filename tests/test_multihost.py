@@ -105,3 +105,11 @@ def test_two_process_stage1_epoch(tmp_path):
         assert r["fsdp_sharded"] and r["fsdp_layout_kept"]
         assert np.isfinite(r["fsdp_loss"])
     assert results[0]["fsdp_loss"] == results[1]["fsdp_loss"]
+    # FSDP TRAINER leg (advisor r4 #2): the full --fsdp Stage2Trainer ran cross-host
+    # including the epoch-boundary reference-layout export; the exported kernel equals
+    # the collectively gathered live param on BOTH hosts
+    for r in results:
+        assert r["fsdp_trainer_sharded"]
+        assert np.isfinite(r["fsdp_trainer_loss"])
+        assert r["fsdp_export_matches"]
+    assert results[0]["fsdp_trainer_loss"] == results[1]["fsdp_trainer_loss"]

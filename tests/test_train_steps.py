@@ -523,3 +523,26 @@ def test_swap_optimizer_carries_surviving_group_moments():
     assert any(
         np.any(np.asarray(fresh_leaves[k]) != np.asarray(new[k])) for k in carried
     ), "swap_optimizer should differ from a fresh init after training steps"
+
+
+def test_left_align_padding_puts_pads_first():
+    """Generation prefixes are LEFT-padded: the last slot of a short question must be
+    a real token, not a pad embedding (advisor r4: np.argsort(ids == pad) RIGHT-pads;
+    reference forces padding_side='left' — Stage2/trainer.py:499-505)."""
+    from projectiontrainer_tpu.train import common
+
+    pad = 0
+    ids = np.array([
+        [5, 7, 9, pad, pad],   # short question, right-padded as batched
+        [1, 2, 3, 4, 6],       # full-length question
+        [pad, pad, pad, 8, 3],  # already left-padded: unchanged
+    ])
+    out = common.left_align_padding(ids, pad)
+    np.testing.assert_array_equal(out[0], [pad, pad, 5, 7, 9])
+    np.testing.assert_array_equal(out[1], [1, 2, 3, 4, 6])
+    np.testing.assert_array_equal(out[2], [pad, pad, pad, 8, 3])
+    # invariant: for every row with at least one real token, the LAST slot is real
+    assert np.all(out[:, -1] != pad)
+    # relative order of real tokens preserved (stable sort)
+    for row_in, row_out in zip(ids, out):
+        assert list(row_in[row_in != pad]) == list(row_out[row_out != pad])
