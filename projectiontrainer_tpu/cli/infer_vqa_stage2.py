@@ -63,14 +63,16 @@ def build_parser():
     return p
 
 
-def generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len, gen_cfg):
-    """Core VQA generation shared by the batch CLI and the serving endpoint.
+def build_prefix(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len):
+    """Stage A of VQA generation: bucket + LEFT-pad the questions and run the jitted
+    [visual; question] prefix program (vision tower -> projector -> embeds). Returns
+    device arrays WITHOUT blocking — dispatch is async, so a caller can enqueue the
+    next batch's prefix while the previous batch still decodes (the serving
+    double-buffer rides this).
 
-    ``pixels``: [B, H, W, C] preprocessed images; ``q_tok``: B question token-id lists
-    (tokenized without special tokens). Pads questions to a BUCKET, not the batch max:
-    a per-batch dynamic length recompiles the whole generate graph for every distinct
-    value (minutes each on TPU); the bucket grid bounds compilation count like the
-    training feed."""
+    Pads questions to a BUCKET, not the batch max: a per-batch dynamic length
+    recompiles the whole generate graph for every distinct value (minutes each on
+    TPU); the bucket grid bounds compilation count like the training feed."""
     from projectiontrainer_tpu.data.bucketing import (
         DEFAULT_Q_BUCKETS, bucket_for, buckets_covering,
     )
@@ -85,14 +87,28 @@ def generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len, ge
 
     # one jitted program builds the [visual; question] prefix — eager per-op
     # dispatch of the vision tower costs seconds/call on the tunneled runtime
-    embeds, mask = vlm.question_prefix(
+    return vlm.question_prefix(
         params, vlm_cfg, jnp.asarray(pixels), jnp.asarray(q_ids), pad_token_id=pad
     )
+
+
+def decode_prefix(embeds, mask, vlm_cfg, params, tokenizer, *, gen_cfg):
+    """Stage B of VQA generation: bucketed beam decode from a prebuilt prefix, then
+    host-side detokenization (this is where the device sync happens)."""
+    pad = tokenizer.pad_token_id or 0
     ids = generate(params["llm"], vlm_cfg.llm, embeds, mask, gen_cfg)
     return [
         tokenizer.decode([t for t in np.asarray(row) if t != pad], skip_special_tokens=True)
         for row in np.asarray(ids)
     ]
+
+
+def generate_answers(pixels, q_tok, vlm_cfg, params, tokenizer, *, max_q_len, gen_cfg):
+    """Core VQA generation shared by the batch CLI and the serving endpoint:
+    prefix build (stage A) + decode (stage B) back to back."""
+    embeds, mask = build_prefix(pixels, q_tok, vlm_cfg, params, tokenizer,
+                                max_q_len=max_q_len)
+    return decode_prefix(embeds, mask, vlm_cfg, params, tokenizer, gen_cfg=gen_cfg)
 
 
 def answer_batch(samples, vlm_cfg, params, tokenizer, *, image_root, image_root_2,
