@@ -136,10 +136,97 @@ def _calibrate(repeats: int = 1) -> float:
 
 
 def _calib_release():
-    """Free the pinned calibration operands (~256 MB HBM) once the windows are done —
-    stage-0/-2 run close to HBM capacity and should not carry them afterwards."""
-    global _calib_state
+    """Free the pinned calibration operands (~256 MB HBM for the MXU chain, ~256 MB
+    for the HBM-streaming chain) once the windows are done — stage-0/-2 run close to
+    HBM capacity and should not carry them afterwards."""
+    global _calib_state, _hbm_state
     _calib_state = None
+    _hbm_state = None
+
+
+# Clean-state streaming bandwidth of the HBM probe on the recording v5e chip
+# (measured this session; theoretical peak 819 GB/s, ~81% of peak is the expected
+# large-transfer efficiency). The chip's SECOND interference mode (BENCH_EXTRA_r06
+# chip_state_modes) throttles HBM bandwidth — busy time inflates 270 -> 365 ms with
+# zero idle gaps while the pure-MXU probe stays ~1.0, so the MXU probe alone cannot
+# see it. This probe CAN: its runtime is pure HBM streaming with known byte traffic.
+# health = measured/nominal; < ~0.8 marks the throttled mode machine-readably.
+HBM_NOMINAL_GBPS = {"v5 lite": 664.0, "v5e": 664.0, "v5litepod": 664.0}
+_HBM_ITERS = (64, 256)
+_HBM_N = 8192
+
+_hbm_state = None
+
+
+def _hbm_calibrate(repeats: int = 2):
+    """Streaming bandwidth (GB/s) of a pure-copy/add chain, now — measured
+    DIFFERENTIALLY: a ``lax.scan`` of ``a = a + b`` over two [8192, 8192] bf16
+    operands (3 x 128 MiB of HBM traffic per iteration: read a, read b, write a;
+    VPU-only compute, ~0.5% of the chip's FLOP ceiling) is dispatched at 64 and at
+    256 iterations, and bandwidth = traffic delta / time delta. The tunneled axon
+    runtime adds a ~30 ms CONSTANT dispatch+readback latency that would understate
+    a single absolute measurement by ~2x at probe-sized transfers; the differential
+    cancels it (measured asymptote 665 GB/s = 81% of the 819 GB/s peak, matching
+    the committed nominal). XLA cannot fold the chain — the carry feeds each
+    iteration. Returns None off-TPU or on a nonsensical (non-positive) delta."""
+    global _hbm_state
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return None
+    if _hbm_state is None:
+        def make(iters):
+            @jax.jit
+            def chain(a, b):
+                def body(a, _):
+                    return a + b, ()
+
+                a, _ = jax.lax.scan(body, a, None, length=iters)
+                return jnp.sum(a.astype(jnp.float32))
+
+            return chain
+
+        key = jax.random.key(11)
+        a = jax.random.normal(key, (_HBM_N, _HBM_N), jnp.bfloat16)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (_HBM_N, _HBM_N),
+                              jnp.bfloat16)
+        chains = tuple(make(i) for i in _HBM_ITERS)
+        for c in chains:
+            float(c(a, b))  # compile + warm
+        _hbm_state = (chains, a, b)
+    chains, a, b = _hbm_state
+    times = []
+    for c in chains:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(c(a, b))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    dt = times[1] - times[0]
+    if dt <= 0:
+        return None
+    traffic_delta = (_HBM_ITERS[1] - _HBM_ITERS[0]) * 3 * _HBM_N * _HBM_N * 2
+    return traffic_delta / dt / 1e9
+
+
+def _hbm_nominal_gbps():
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in HBM_NOMINAL_GBPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _hbm_health(gbps):
+    """measured/nominal ratio, or None when either side is unavailable."""
+    nominal = _hbm_nominal_gbps()
+    if gbps is None or not nominal:
+        return None
+    return round(gbps / nominal, 3)
 
 
 def _calib_nominal_ms():
@@ -154,27 +241,41 @@ def _calib_nominal_ms():
     return None
 
 
-def _calib_record(calib_ms):
-    """MXU-health diagnostic for the window set (see CALIB_NOMINAL_MS note: the
-    probe does NOT track the episodic step slowdown, so it is evidence, not a
-    correction factor)."""
+def _calib_record(calib_ms, hbm_gbps=None):
+    """MXU + HBM health diagnostics for the window set (see CALIB_NOMINAL_MS note:
+    the MXU probe does NOT track the episodic step slowdown, so it is evidence, not
+    a correction factor; the HBM probe DOES track the bandwidth-throttled mode)."""
     nominal = _calib_nominal_ms()
-    return {
+    rec = {
         "window_calib_ms": [round(c, 1) for c in calib_ms],
         "nominal_ms": nominal,
         "mxu_health": [round(nominal / c, 3) for c in calib_ms] if nominal else None,
     }
+    if hbm_gbps:
+        rec["window_hbm_gbps"] = [round(g, 1) if g else None for g in hbm_gbps]
+        rec["hbm_nominal_gbps"] = _hbm_nominal_gbps()
+        rec["hbm_health"] = [_hbm_health(g) for g in hbm_gbps]
+    return rec
 
 
 def _intrinsic_probe(step, state, batch_data, n_steps: int = 4, key_base: int = 500):
-    """Chip-state-free step time from a short jax.profiler trace (VERDICT r3 missing
-    #3): the device's "XLA Modules" line records each train-step module's EXECUTION
-    duration, excluding the inter-step preemption gaps that the shared chip's slow
-    episodes inject (BENCH_EXTRA_r05 chip-state anatomy: slow episode = ~100 ms/step
-    of idle gap, module durations unchanged). Returns ``(state, record)`` where
-    record = {intrinsic_step_ms, preemption_gap_ms, n} or None when the backend
-    can't trace / parse (CPU, missing protos) — the bench must not die on a
-    diagnostic."""
+    """Chip-state-free step time from a short jax.profiler trace.
+
+    r5 RESOLUTION of the mode-2 mystery (BENCH_EXTRA_r06 chip_state_modes): in the
+    "slow" state the module WALL-SPAN inflates 270 -> 365 ms with zero inter-step
+    gaps, yet the same trace's "XLA Ops" line shows every one of OUR ops at its
+    clean-state duration, summing to 270.3 ms — the inflation is FOREIGN WORK
+    (another tenant / runtime) interleaved at op boundaries INSIDE our module
+    window. That's why the single-op MXU and HBM-streaming probes always read ~1.0
+    through the episode: one op = no interleaving points. The chip-state-free step
+    time is therefore the SUM OF OP DURATIONS per step (``intrinsic_step_ms``);
+    on a truly clean chip it matches the module span to ~0.1 ms (TPU executes ops
+    back-to-back). ``module_span_ms`` keeps the old accounting (r3/r4 artifacts);
+    ``interleave_ms`` = span - ops is the mode-2 signature, ~0 when clean.
+
+    Returns ``(state, record)`` where record = {intrinsic_step_ms, module_span_ms,
+    interleave_ms, preemption_gap_ms, n} or None when the backend can't trace /
+    parse (CPU, missing protos) — the bench must not die on a diagnostic."""
     import glob as _glob
     import shutil
     import tempfile
@@ -195,7 +296,8 @@ def _intrinsic_probe(step, state, batch_data, n_steps: int = 4, key_base: int = 
             jax.profiler.stop_trace()
         from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
 
-        events = []  # (metadata_id, offset_ps, duration_ps)
+        events = []   # XLA Modules: (metadata_id, offset_ps, duration_ps)
+        op_events = []  # XLA Ops: (offset_ps, duration_ps), same plane timebase
         for pb in _glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True):
             xs = xplane_pb2.XSpace()
             with open(pb, "rb") as f:
@@ -204,10 +306,12 @@ def _intrinsic_probe(step, state, batch_data, n_steps: int = 4, key_base: int = 
                 if not plane.name.startswith("/device:TPU"):
                     continue
                 for line in plane.lines:
-                    if line.name != "XLA Modules":
-                        continue
-                    for e in line.events:
-                        events.append((e.metadata_id, e.offset_ps, e.duration_ps))
+                    if line.name == "XLA Modules":
+                        for e in line.events:
+                            events.append((e.metadata_id, e.offset_ps, e.duration_ps))
+                    elif line.name == "XLA Ops":
+                        for e in line.events:
+                            op_events.append((e.offset_ps, e.duration_ps))
         if not events:
             return state, None
         # the train step is the module group with the largest total device time
@@ -218,15 +322,39 @@ def _intrinsic_probe(step, state, batch_data, n_steps: int = 4, key_base: int = 
         if len(group) < 2:
             return state, None
         durs_ms = sorted(d / 1e9 for _, d in group)
-        intrinsic_ms = durs_ms[len(durs_ms) // 2]  # median
+        module_span_ms = durs_ms[len(durs_ms) // 2]  # median module wall-span
         span_ps = (max(o + d for o, d in group) - min(o for o, _ in group))
         busy_ps = sum(d for _, d in group)
         gap_ms = max(0.0, (span_ps - busy_ps) / 1e9) / max(1, len(group) - 1)
-        return state, {
-            "intrinsic_step_ms": round(intrinsic_ms, 2),
+        # sum of OUR op durations inside the step-module windows (the chip-state-free
+        # accounting — foreign interleaved work is excluded because it isn't an event
+        # on our process's XLA Ops line)
+        windows = sorted((o, o + d) for o, d in group)
+        ops_ps = 0
+        for off, dur in op_events:
+            for lo, hi in windows:
+                if lo <= off < hi:
+                    ops_ps += dur
+                    break
+        rec = {
             "preemption_gap_ms": round(gap_ms, 2),
+            "module_span_ms": round(module_span_ms, 2),
             "n": len(group),
         }
+        if ops_ps > 0:
+            # min(ops-sum, span): interference only ever INFLATES either accounting
+            # (r5 measured two micro-states under a pinned 364.7 ms span — one with
+            # clean per-op durations summing to 270.3, one with fusion durations
+            # inflated to tile the span), so the minimum over accountings and over
+            # probes spread in time is the defensible program speed.
+            ops_busy_ms = ops_ps / 1e9 / len(group)
+            rec["ops_busy_ms"] = round(ops_busy_ms, 2)
+            rec["intrinsic_step_ms"] = round(min(ops_busy_ms, module_span_ms), 2)
+            rec["interleave_ms"] = round(max(0.0, module_span_ms - ops_busy_ms), 2)
+        else:
+            rec["intrinsic_step_ms"] = round(module_span_ms, 2)
+            rec["interleave_ms"] = None
+        return state, rec
     except Exception:
         return state, None
     finally:
@@ -372,29 +500,31 @@ def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100,
         float(loss)
         if calibrate:
             _calibrate()  # build+warm the calibration chain outside the windows
-        times, calibs = [], []
+        times, calibs, hbms = [], [], []
         for sleep_s in _window_spacings(max(1, windows), spacing):
             if sleep_s:
                 time.sleep(sleep_s)
             if calibrate:
                 calibs.append(_calibrate())
+                hbms.append(_hbm_calibrate())
             t0 = time.perf_counter()
             state, loss = multi(state, batch_data)
             float(loss)
             times.append(time.perf_counter() - t0)
-        calib = _calib_record(calibs) if calibrate else None
+        calib = _calib_record(calibs, hbms) if calibrate else None
         if calibrate:
             _calib_release()
         return min(times), state, loss, [t / steps_n * 1e3 for t in times], calib
 
     if calibrate:
         _calibrate()  # build+warm outside the windows
-    times, calibs, loss, k = [], [], None, key_base
+    times, calibs, hbms, loss, k = [], [], [], None, key_base
     for sleep_s in _window_spacings(max(1, windows), spacing):
         if sleep_s:
             time.sleep(sleep_s)
         if calibrate:
             calibs.append(_calibrate())
+            hbms.append(_hbm_calibrate())
         t0 = time.perf_counter()
         for _ in range(steps_n):
             out = step(state, batch_data, jax.random.key(k))
@@ -402,7 +532,7 @@ def _timed_windows(step, state, batch_data, steps_n, *, windows=3, key_base=100,
             k += 1
         float(loss)
         times.append(time.perf_counter() - t0)
-    calib = _calib_record(calibs) if calibrate else None
+    calib = _calib_record(calibs, hbms) if calibrate else None
     if calibrate:
         _calib_release()
     return min(times), state, loss, [t / steps_n * 1e3 for t in times], calib
@@ -802,6 +932,92 @@ def _run_stage0(batch: int, steps_n: int, warmup: int, remat=False, windows: int
                   f"mfu={mfu:.1%} loss={float(loss):.4f} remat={remat} "
                   f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
                   f"(frozen text tower, bf16 compute / fp32 vision masters)"),
+    }
+    if intrinsic:
+        intr_s = intrinsic["intrinsic_step_ms"] / 1e3
+        out["value_intrinsic"] = round(batch / intr_s / n_chips, 3)
+        out["mfu_intrinsic"] = round(_mfu(flops, intr_s, n_chips), 4)
+        out["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+    return out
+
+
+def _run_cls(batch: int, steps_n: int, warmup: int, windows: int = 3,
+             dispatch: str = "loop", spacing: float = 0.0):
+    """BASELINE config #5 (cls_evaluate): AbnormalityClassifier training + eval
+    throughput at the reference's production shape — the stage-0 so400m-16-512
+    backbone with 14 abnormality query classes and the 16-head cross-attention probe
+    (cls_evaluate/models.py:107-139), Unfreeze mode (backbone trains — the
+    most expensive recipe), discriminative LRs (train_utils.py:219-259), softmax CE.
+    Also records the forward-only eval rate (the distributed-sweep unit of work,
+    run_distributed_experiments.sh:235-268)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from projectiontrainer_tpu.models import classifier as cls_model
+    from projectiontrainer_tpu.models import siglip
+    from projectiontrainer_tpu.train import masks, optim, steps
+
+    attn = "flash" if jax.default_backend() == "tpu" else "xla"
+    vcfg = dataclasses.replace(siglip.so400m_16_512(), attn_impl=attn)
+    ccfg = cls_model.ClassifierConfig(vision=vcfg, num_classes=14, num_heads=16,
+                                      dropout_rate=0.1)
+    params = cls_model.init(jax.random.key(0), ccfg, jnp.float32)
+    labels = masks.classifier_labels(params, freeze_vision=False)
+    tx, _ = optim.discriminative_optimizer(
+        labels, head_lr=1e-4, backbone_lr=1e-5, total_steps=1000, weight_decay=0.01)
+    loss_fn = steps.classifier_loss(ccfg, compute_dtype=jnp.bfloat16)
+    step = steps.make_train_step(loss_fn, tx, donate=True,
+                                 trainable_mask=masks.bool_mask(labels))
+    state = steps.init_state(params, tx)
+
+    nprng = np.random.default_rng(0)
+    image = vcfg.image_size
+    batch_data = {
+        "pixel_values": jnp.asarray(
+            nprng.normal(size=(batch, image, image, 3)).astype(np.float32),
+            dtype=jnp.bfloat16),
+        "target_indices": jnp.asarray(nprng.integers(0, 14, size=(batch,))),
+    }
+    flops = _step_flops(step, state, batch_data, jax.random.key(0))
+    for i in range(warmup):
+        state, loss, _ = step(state, batch_data, jax.random.key(i))
+    float(loss)
+    elapsed, state, loss, window_ms, calib = _timed_windows(
+        step, state, batch_data, steps_n, windows=windows, dispatch=dispatch,
+        calibrate=jax.default_backend() == "tpu", spacing=spacing,
+    )
+    state, intrinsic = _intrinsic_probe(step, state, batch_data)
+    step_s = elapsed / steps_n
+    n_chips = len(jax.devices())
+    mfu = _mfu(flops, step_s, n_chips)
+
+    # forward-only eval rate (bf16 compute, no dropout): the sweep's unit of work
+    eval_fn = jax.jit(lambda p, pix: cls_model.forward(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                     if jnp.issubdtype(x.dtype, jnp.floating) else x, p),
+        ccfg, pix))
+    logits = eval_fn(state["params"], batch_data["pixel_values"])
+    np.asarray(logits)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(steps_n):
+        logits = eval_fn(state["params"], batch_data["pixel_values"])
+    np.asarray(logits)
+    eval_rate = batch * steps_n / (time.perf_counter() - t0) / n_chips
+
+    out = {
+        "metric": "cls_train_images_per_sec_per_chip",
+        "value": round(batch / step_s / n_chips, 3),
+        "unit": "images/sec/chip",
+        "mfu": round(mfu, 4),
+        "eval_images_per_sec_per_chip": round(eval_rate, 1),
+        "extra": (f"batch={batch} so400m-16-512 probe(14cls,16heads) "
+                  f"step={step_s * 1e3:.0f}ms mfu={mfu:.1%} loss={float(loss):.4f} "
+                  f"eval={eval_rate:.0f} img/s/chip "
+                  f"windows_ms={[round(w, 1) for w in window_ms]} calib={calib} "
+                  f"(Unfreeze mode, discriminative LRs, bf16 compute)"),
     }
     if intrinsic:
         intr_s = intrinsic["intrinsic_step_ms"] / 1e3
@@ -1640,7 +1856,7 @@ def main(argv=None):
         choices=["stage0", "stage0-breakdown", "stage0-ops", "stage1", "stage1-tiny",
                  "stage1-8b", "stage1-ops", "stage2", "stage2-8b", "stage2-full",
                  "stage2-breakdown", "stage2-ops",
-                 "gen", "serve", "flash-check", "ce-check", "pipeline"],
+                 "cls", "gen", "serve", "flash-check", "ce-check", "pipeline"],
     )
     parser.add_argument("--serve_clients", type=int, default=8,
                         help="serve mode: concurrent closed-loop clients")
@@ -1717,7 +1933,7 @@ def main(argv=None):
 
     if args.mode in ("stage0", "stage0-breakdown", "stage0-ops", "stage1-ops",
                      "stage2", "stage2-8b", "stage2-full", "stage2-breakdown",
-                     "stage2-ops", "gen", "serve", "flash-check", "ce-check",
+                     "stage2-ops", "cls", "gen", "serve", "flash-check", "ce-check",
                      "pipeline"):
         if args.mode == "stage2-ops":
             result = _run_stage2_ops(
@@ -1762,6 +1978,10 @@ def main(argv=None):
                                  windows=args.windows, dispatch=args.dispatch,
                                  spacing=args.window_spacing,
                                  ln=args.ln or ("fused" if jax.default_backend() == "tpu" else "xla"))
+        elif args.mode == "cls":
+            result = _run_cls(16 if args.batch == 8 else args.batch,
+                              args.steps, args.warmup, windows=args.windows,
+                              dispatch=args.dispatch, spacing=args.window_spacing)
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps, out_size=args.img_size)
         elif args.mode == "gen":
@@ -1820,7 +2040,19 @@ def main(argv=None):
     # busy time too. Two probes ~140 s apart double the odds one lands in a clean
     # episode. Tiny smoke shapes skip the probe (meaningless ratios; note the axon
     # sitecustomize forces the TPU backend even under JAX_PLATFORMS=cpu).
-    state, intr_a = (state, None) if tiny else _intrinsic_probe(step, state, batch_data)
+    def _probe(state):
+        """Device-busy intrinsic probe paired with an HBM-streaming reading taken in
+        the same window, so each probe carries the chip-state evidence needed to
+        tell mode 2 (bandwidth throttling inflates busy time with zero gaps —
+        BENCH_EXTRA_r06) from a clean reading."""
+        hbm = _hbm_calibrate()
+        state, rec = _intrinsic_probe(step, state, batch_data)
+        if rec is not None:
+            rec["hbm_gbps"] = round(hbm, 1) if hbm else None
+            rec["hbm_health"] = _hbm_health(hbm)
+        return state, rec
+
+    state, intr_a = (state, None) if tiny else _probe(state)
     probes = [intr_a] if intr_a else []
     best = None
     for attempt in range(3):
@@ -1843,19 +2075,57 @@ def main(argv=None):
               f"retry {attempt + 1}/2 after 90s", file=sys.stderr)
         time.sleep(90)
     elapsed, window_ms, calib = best
-    state, intr_b = (state, None) if tiny else _intrinsic_probe(step, state, batch_data)
+    state, intr_b = (state, None) if tiny else _probe(state)
     if intr_b:
         probes.append(intr_b)
-    intrinsic = min(probes, key=lambda r: r["intrinsic_step_ms"], default=None)
+
+    # Mode-2 defense (VERDICT r4 task #3), r5 form: intrinsic_step_ms is now the SUM
+    # OF OUR OP DURATIONS (see _intrinsic_probe) — immune to the tenant-interleave
+    # mode outright, so no retry is needed for it; the probe's interleave_ms labels
+    # the state machine-readably instead. The HBM-streaming reading guards the one
+    # state ops-accounting can't fix: genuine bandwidth throttling would slow the
+    # ops themselves (health < 0.8 — never yet observed; the 365 ms episodes all
+    # measured ~1.0). If every probe reads throttled, back off past the ~10-minute
+    # episode scale and re-probe (up to twice).
+    def _hbm_ok(rec):
+        h = rec.get("hbm_health")
+        return h is None or h >= 0.8
+
+    throttle_retries = 0
+    while (probes and not any(_hbm_ok(p) for p in probes)
+           and throttle_retries < 2):
+        throttle_retries += 1
+        print(f"# all probes HBM-throttled "
+              f"({[p.get('hbm_health') for p in probes]}); backoff 360s, "
+              f"re-probe {throttle_retries}/2", file=sys.stderr)
+        time.sleep(360)
+        state, extra_probe = _probe(state)
+        if extra_probe:
+            probes.append(extra_probe)
+    ok_probes = [p for p in probes if _hbm_ok(p)] or probes
+    chip_state = None
+    if probes:
+        if not any(_hbm_ok(p) for p in probes):
+            chip_state = "hbm-throttled"
+        else:
+            inter = min((p.get("interleave_ms") or 0.0) for p in ok_probes)
+            busy = min(p["intrinsic_step_ms"] for p in ok_probes)
+            chip_state = "clean" if inter < 0.05 * busy else "tenant-interleaved"
+    intrinsic = min(ok_probes, key=lambda r: r["intrinsic_step_ms"], default=None)
 
     n_chips = jax.device_count()
     images_per_sec = batch * args.steps / elapsed
     value = images_per_sec / n_chips
     value_intrinsic = None
+    value_intrinsic_module_span = None
     if intrinsic:
         value_intrinsic = round(
             batch / (intrinsic["intrinsic_step_ms"] / 1e3) / n_chips, 3
         )
+        if intrinsic.get("module_span_ms"):
+            value_intrinsic_module_span = round(
+                batch / (intrinsic["module_span_ms"] / 1e3) / n_chips, 3
+            )
 
     # vs_baseline prefers the chip-state-free intrinsic number when BOTH rounds carry
     # it (VERDICT r3 weak #4: wall-clock comparisons ride chip-state luck — r2's
@@ -1870,8 +2140,17 @@ def main(argv=None):
                 prev = json.load(f)
             parsed = prev.get("parsed", {}) if isinstance(prev.get("parsed"), dict) else {}
             prev_intr = prev.get("value_intrinsic") or parsed.get("value_intrinsic")
+            prev_acct = prev.get("accounting") or parsed.get("accounting")
             prev_value = prev.get("value") or parsed.get("value")
-            if prev_intr and value_intrinsic:
+            # matched accounting: rounds before r5 recorded value_intrinsic from the
+            # module WALL-SPAN, which the tenant-interleave mode inflates; comparing
+            # the new ops-busy number against it would claim a phantom speedup. Use
+            # ops-busy vs ops-busy when the prior artifact carries it, else span.
+            if prev_intr and prev_acct == "ops-busy" and value_intrinsic:
+                vs_baseline = value_intrinsic / float(prev_intr)
+            elif prev_intr and value_intrinsic_module_span:
+                vs_baseline = value_intrinsic_module_span / float(prev_intr)
+            elif prev_intr and value_intrinsic:
                 vs_baseline = value_intrinsic / float(prev_intr)
             elif prev_value:
                 vs_baseline = value / float(prev_value)
@@ -1895,18 +2174,36 @@ def main(argv=None):
     }
     if intrinsic:
         line["value_intrinsic"] = value_intrinsic
+        line["accounting"] = "min-ops-span"
         line["mfu_intrinsic"] = round(
             _mfu(flops, intrinsic["intrinsic_step_ms"] / 1e3, n_chips), 4)
+        line["value_intrinsic_module_span"] = value_intrinsic_module_span
+        line["interleave_ms"] = intrinsic.get("interleave_ms")
         line["preemption_gap_ms"] = intrinsic["preemption_gap_ms"]
+        line["hbm_probe"] = {
+            "per_probe_gbps": [p.get("hbm_gbps") for p in probes],
+            "per_probe_health": [p.get("hbm_health") for p in probes],
+            "nominal_gbps": _hbm_nominal_gbps(),
+            "selected_probe_health": intrinsic.get("hbm_health"),
+            "throttle_retries": throttle_retries,
+        }
+        line["chip_state"] = chip_state
     if calib and intrinsic:
         line["methodology"] = (
             "value/mfu are wall-clock best-of-%d spread windows (step ms %s; MXU "
-            "probe %s); value_intrinsic/mfu_intrinsic use the MIN of two "
-            "profiler device-busy probes taken ~140s apart (defeats idle-gap "
-            "interference outright and improves the odds against the chip's "
-            "second mode, HBM-bandwidth throttling, which inflates busy time "
-            "with zero gaps — BENCH_EXTRA_r06 chip_state_modes); vs_baseline "
-            "compares intrinsic when both rounds carry it"
+            "probe %s); value_intrinsic/mfu_intrinsic take the MIN over probes "
+            "of min(sum of this program's op durations, module span) per step "
+            "(accounting='min-ops-span') — interference only ever INFLATES "
+            "either accounting, so the min is the defensible program speed. r5 "
+            "op-level tracing of the r4 'slow busy' mode found a pinned 364.7ms "
+            "module span hiding two micro-states: per-op durations CLEAN and "
+            "summing to 270.3ms (foreign work interleaved at op boundaries), or "
+            "fusion durations inflated to tile the span; interleave_ms is the "
+            "first state's signature and chip_state labels the result. The "
+            "same-window HBM-streaming probe guards genuine bandwidth "
+            "throttling (health<0.8: backoff 360s + re-probe, else chip_state="
+            "'hbm-throttled'; all observed episodes read ~1.0). vs_baseline "
+            "compares MATCHED accounting: module-span vs pre-r5 artifacts"
             % (args.windows, [round(w, 1) for w in window_ms], calib["mxu_health"])
         )
     elif calib:
