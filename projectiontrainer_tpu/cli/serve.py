@@ -131,6 +131,8 @@ class VQAService:
         # depth-1 handoff => at most TWO batches in flight (one decoding, one with
         # its prefix dispatched) — deeper pipelines only add queueing latency
         self.prefix_queue: queue.Queue = queue.Queue(maxsize=1)
+        # set while stage B occupies the device — the batcher's "fill is free" signal
+        self._decode_busy = threading.Event()
         self.prefix_worker = threading.Thread(target=self._prefix_worker, daemon=True)
         self.decode_worker = threading.Thread(target=self._decode_worker, daemon=True)
         self.prefix_worker.start()
@@ -189,15 +191,26 @@ class VQAService:
             if not first.abandoned:
                 break
         batch = [first]
+        # Adaptive fill (r5: the eager two-stage pipeline halved batch fill —
+        # draining right after handoff samples the queue mid-decode, when most
+        # closed-loop clients are still waiting on batch N): while the DECODE stage
+        # is busy or a prefix is already staged, filling costs nothing — the chip
+        # has work — so keep topping up; the ``max_wait_ms`` latency bound applies
+        # only from the moment the pipeline would otherwise starve.
         deadline = time.perf_counter() + self.args.max_wait_ms / 1e3
         while len(batch) < self.args.batch_size:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
+            now = time.perf_counter()
+            pipeline_busy = self._decode_busy.is_set() or not self.prefix_queue.empty()
+            if pipeline_busy:
+                deadline = now + self.args.max_wait_ms / 1e3
+            elif now >= deadline:
                 break
             try:
-                nxt = self.queue.get(timeout=remaining)
+                nxt = self.queue.get(
+                    timeout=0.005 if pipeline_busy else max(0.0, deadline - now)
+                )
             except queue.Empty:
-                break
+                continue
             if nxt is None:
                 self.queue.put(None)  # re-post for the outer loop to see
                 break
@@ -257,6 +270,7 @@ class VQAService:
             if item is None:
                 return
             batch, embeds, mask = item
+            self._decode_busy.set()
             try:
                 answers = decode_prefix(embeds, mask, self.vlm_cfg, self.params,
                                         self.tokenizer, gen_cfg=self.gen_cfg)
@@ -272,6 +286,8 @@ class VQAService:
                 for r in batch:
                     r.error = e
                     r.event.set()
+            finally:
+                self._decode_busy.clear()
 
     def warmup(self):
         """Compile every (bucket, batch) program before accepting traffic. The serving

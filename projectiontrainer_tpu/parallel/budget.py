@@ -25,7 +25,9 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-V5E_HBM_BYTES = 16 * 1024**3  # 16 GiB per v5e chip
+# usable HBM per v5e chip: 16 GiB physical minus the runtime reserve — the XLA:TPU
+# compiler enforces 15.75 GiB ("Used ... of 15.75G hbm" in its OOM accounting)
+V5E_HBM_BYTES = int(15.75 * 1024**3)
 
 
 def gemma3_4b_text_config(attn_impl: str = "xla"):
@@ -273,7 +275,50 @@ def full_joint_budget(
     key_aval = jax.eval_shape(lambda: jax.random.key(0))
     key_aval = jax.ShapeDtypeStruct(key_aval.shape, key_aval.dtype, sharding=repl)
 
-    compiled = step.lower(state_aval, batch_aval, key_aval).compile()
+    lowered = step.lower(state_aval, batch_aval, key_aval)
+    oom = None
+    try:
+        compiled = lowered.compile()
+    except Exception as e:  # XLA:TPU RESOURCE_EXHAUSTED carries the exact usage
+        msg = str(e)
+        m = re.search(
+            r"Used ([0-9.]+)([MG]) of ([0-9.]+)([MG]) hbm.*?"
+            r"Exceeded hbm capacity by ([0-9.]+)([MG])", msg, re.S)
+        if "RESOURCE_EXHAUSTED" not in msg or m is None:
+            raise
+        unit = {"M": 2**20, "G": 2**30}
+        oom = {
+            "used_bytes": int(float(m.group(1)) * unit[m.group(2)]),
+            "limit_bytes": int(float(m.group(3)) * unit[m.group(4)]),
+            "over_bytes": int(float(m.group(5)) * unit[m.group(6)]),
+        }
+        compiled = None
+    if compiled is None:
+        # the compiler's own accounting IS the budget answer: report it structurally
+        # instead of dying, so sweeps over operating points can record both sides
+        # of the HBM frontier
+        state_bytes = sum(
+            _leaf_local_bytes(l) for l in jax.tree_util.tree_leaves(state_aval)
+        )
+        return {
+            "kind": kind,
+            "mesh": dict(mesh.shape),
+            "model": "gemma3-4b-full-joint" if vlm_cfg.llm.hidden_size == 2560 else "custom",
+            "batch_global": b,
+            "batch_per_device": batch_per_device,
+            "seq": {"visual": (img // vlm_cfg.vision.patch_size) ** 2 - 1,
+                    "q": q_len, "a": a_len},
+            "master_dtype": master_dtype,
+            "remat": str(remat),
+            "accum_steps": accum_steps,
+            "logits_chunk": logits_chunk,
+            "per_device": {"peak_bytes": oom["used_bytes"]},
+            "state_bytes_per_device": int(state_bytes),
+            "hbm_limit_bytes": V5E_HBM_BYTES,
+            "fits_16gb": False,
+            "oom": oom,
+            "collectives": None,
+        }
     ma = compiled.memory_analysis()
     hlo = compiled.as_text()
 
@@ -307,11 +352,13 @@ def full_joint_budget(
         "master_dtype": master_dtype,
         "remat": str(remat),
         "accum_steps": accum_steps,
+        "logits_chunk": logits_chunk,
         "per_device": per_device,
         "state_bytes_per_device": int(state_bytes),
         "hbm_limit_bytes": V5E_HBM_BYTES,
         "fits_16gb": bool(per_device.get("peak_bytes", 0) < V5E_HBM_BYTES)
         if per_device else None,
+        "oom": None,
         "collectives": collective_inventory(hlo),
     }
 
