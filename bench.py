@@ -152,7 +152,11 @@ def _calib_release():
 # see it. This probe CAN: its runtime is pure HBM streaming with known byte traffic.
 # health = measured/nominal; < ~0.8 marks the throttled mode machine-readably.
 HBM_NOMINAL_GBPS = {"v5 lite": 664.0, "v5e": 664.0, "v5litepod": 664.0}
-_HBM_ITERS = (64, 256)
+# ONE 8192^2 bf16 operand (128 MiB): it must exceed VMEM (~128 MiB on v5e — a pair
+# of 32 MiB operands measured 6.5 TB/s, i.e. VMEM bandwidth, not HBM) yet stay at
+# half the footprint of the original two-operand probe, which tipped the
+# HBM-capacity-edge stage-0 bench into ResourceExhausted on-chip
+_HBM_ITERS = (48, 192)
 _HBM_N = 8192
 
 _hbm_state = None
@@ -160,10 +164,11 @@ _hbm_state = None
 
 def _hbm_calibrate(repeats: int = 2):
     """Streaming bandwidth (GB/s) of a pure-copy/add chain, now — measured
-    DIFFERENTIALLY: a ``lax.scan`` of ``a = a + b`` over two [8192, 8192] bf16
-    operands (3 x 128 MiB of HBM traffic per iteration: read a, read b, write a;
-    VPU-only compute, ~0.5% of the chip's FLOP ceiling) is dispatched at 64 and at
-    256 iterations, and bandwidth = traffic delta / time delta. The tunneled axon
+    DIFFERENTIALLY: a ``lax.scan`` of ``a = a * c + d`` over ONE [8192, 8192] bf16
+    carry (2 x 128 MiB of HBM traffic per iteration: read a, write a; the scalar
+    multiply-add is VPU-only, ~0.5% of the chip's FLOP ceiling, and not foldable —
+    the carry feeds each iteration) is dispatched at 48 and at 192 iterations, and
+    bandwidth = traffic delta / time delta. The tunneled axon
     runtime adds a ~30 ms CONSTANT dispatch+readback latency that would understate
     a single absolute measurement by ~2x at probe-sized transfers; the differential
     cancels it (measured asymptote 665 GB/s = 81% of the 819 GB/s peak, matching
@@ -178,36 +183,35 @@ def _hbm_calibrate(repeats: int = 2):
     if _hbm_state is None:
         def make(iters):
             @jax.jit
-            def chain(a, b):
+            def chain(a):
                 def body(a, _):
-                    return a + b, ()
+                    # scalar mul keeps |a| bounded so the chain neither explodes
+                    # nor denorms; traffic per iter = read a + write a
+                    return a * jnp.bfloat16(0.999) + jnp.bfloat16(0.001), ()
 
                 a, _ = jax.lax.scan(body, a, None, length=iters)
                 return jnp.sum(a.astype(jnp.float32))
 
             return chain
 
-        key = jax.random.key(11)
-        a = jax.random.normal(key, (_HBM_N, _HBM_N), jnp.bfloat16)
-        b = jax.random.normal(jax.random.fold_in(key, 1), (_HBM_N, _HBM_N),
-                              jnp.bfloat16)
+        a = jax.random.normal(jax.random.key(11), (_HBM_N, _HBM_N), jnp.bfloat16)
         chains = tuple(make(i) for i in _HBM_ITERS)
         for c in chains:
-            float(c(a, b))  # compile + warm
-        _hbm_state = (chains, a, b)
-    chains, a, b = _hbm_state
+            float(c(a))  # compile + warm
+        _hbm_state = (chains, a)
+    chains, a = _hbm_state
     times = []
     for c in chains:
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(c(a, b))
+            float(c(a))
             best = min(best, time.perf_counter() - t0)
         times.append(best)
     dt = times[1] - times[0]
     if dt <= 0:
         return None
-    traffic_delta = (_HBM_ITERS[1] - _HBM_ITERS[0]) * 3 * _HBM_N * _HBM_N * 2
+    traffic_delta = (_HBM_ITERS[1] - _HBM_ITERS[0]) * 2 * _HBM_N * _HBM_N * 2
     return traffic_delta / dt / 1e9
 
 
