@@ -73,6 +73,10 @@ def serve():
     return _run("serve")
 
 
+def budget():
+    return _run("budget")
+
+
 def launch():
     # launch.main returns a real exit code (nonzero when a simulated host fails)
     from projectiontrainer_tpu.cli import launch as mod

@@ -90,6 +90,24 @@ def topology_mesh(n_devices: int = 8, model_axis: int = 1):
         devs, kind = list(topo.devices), "tpu-aot"
     except Exception:
         devs, kind = list(jax.devices()[:n_devices]), jax.default_backend()
+    if len(devs) < n_devices:
+        # virtual-CPU fallback: the axon sitecustomize pins the (1-chip) TPU
+        # backend even under JAX_PLATFORMS=cpu — force the CPU platform with
+        # enough virtual devices and reset backends (same trick as the driver's
+        # dryrun entry)
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_devices}"
+            )
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu" or len(jax.devices()) < n_devices:
+            from jax.extend import backend as jex_backend
+
+            jex_backend.clear_backends()
+        devs, kind = list(jax.devices()[:n_devices]), jax.default_backend()
     assert len(devs) >= n_devices, (len(devs), n_devices)
     arr = np.array(devs[:n_devices]).reshape(n_devices // model_axis, model_axis)
     return Mesh(arr, ("data", "model")), kind
