@@ -69,10 +69,13 @@ def test_budget_pipeline_tiny():
 @pytest.mark.slow
 @pytest.mark.skipif(not _RUN_4B, reason="~13 min XLA:TPU AOT compile; set PT_RUN_4B_BUDGET=1")
 def test_gemma3_4b_full_joint_fsdp_operating_point_fits():
-    """The SHIPPED config-#4 operating point (per-device batch 2, logits_chunk 64,
-    fp32 masters+moments, full remat) must fit the v5e's usable 15.75 GiB."""
-    out = budget.full_joint_budget(batch_per_device=2, logits_chunk=64,
-                                   accum_steps=16)
+    """The SHIPPED config-#4 operating point — hybrid FSDP(data=4) x TP(model=2),
+    per-device batch 2, fp32 masters+moments, full remat — must fit the v5e's
+    usable 15.75 GiB (measured 12.48 GiB peak, BUDGET_4B.json; pure-DP FSDP is
+    structurally ~250 MiB over at any batch because every device materializes the
+    full vocab-table gradient)."""
+    out = budget.full_joint_budget(batch_per_device=2, logits_chunk=128,
+                                   accum_steps=16, model_axis=2)
     assert out["fits_16gb"], json.dumps(out["per_device"])
     assert out["collectives"].get("all-gather", {}).get("count", 0) > 0
 
