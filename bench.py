@@ -92,6 +92,13 @@ def _mfu(flops_per_step: float, step_seconds: float, n_chips: int) -> float:
 # window); the defense against bimodality is spreading windows over minutes to
 # straddle episodes (--window_spacing) and recording the best window.
 CALIB_NOMINAL_MS = {"v5 lite": 332.0, "v5e": 332.0, "v5litepod": 332.0}
+
+# Clean-state sum-of-op-durations of the HEADLINE stage-1 step (gemma3-1b, batch 8,
+# remat=none, unquantized) on the recording v5e: measured 270.34 ms by the r5 op
+# table, independently matching r4's clean-state module span (270.4). Used ONLY to
+# label the tiled interference micro-state (ops stretched, interleave ~0) in
+# chip_state — never as a correction factor.
+STAGE1_OPS_NOMINAL_MS = 270.3
 _CALIB_ITERS = 48
 _CALIB_N = 8192
 
@@ -2109,12 +2116,23 @@ def main(argv=None):
     ok_probes = [p for p in probes if _hbm_ok(p)] or probes
     chip_state = None
     if probes:
+        busy = min(p["intrinsic_step_ms"] for p in ok_probes)
         if not any(_hbm_ok(p) for p in probes):
             chip_state = "hbm-throttled"
         else:
             inter = min((p.get("interleave_ms") or 0.0) for p in ok_probes)
-            busy = min(p["intrinsic_step_ms"] for p in ok_probes)
             chip_state = "clean" if inter < 0.05 * busy else "tenant-interleaved"
+        # The interleave signature has a blind spot: in the TILED micro-state the
+        # per-op durations themselves stretch to fill the pinned span (interleave
+        # ~0 while the program runs 1.35x slow). For the FIXED headline config we
+        # know the program's clean ops-sum cross-session (270.3 ms, confirmed by
+        # r4's clean-state span and r5's op table) — use it as a DIAGNOSTIC
+        # label, never a correction.
+        if (chip_state == "clean" and s1_model == "gemma3-1b"
+                and s1_quant == "none" and not tiny and batch == 8
+                and remat in ("none", False)
+                and busy > 1.1 * STAGE1_OPS_NOMINAL_MS):
+            chip_state = "tenant-interleaved(tiled)"
     intrinsic = min(ok_probes, key=lambda r: r["intrinsic_step_ms"], default=None)
 
     n_chips = jax.device_count()
