@@ -1873,7 +1873,10 @@ def main(argv=None):
                         help="serve mode: concurrent closed-loop clients")
     parser.add_argument("--serve_requests", type=int, default=48,
                         help="serve mode: total requests across all clients")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="per-device batch; default depends on mode (stage1 8, "
+                             "stage0/cls 16, stage2 4, 8B modes 2) — an explicit "
+                             "value is always honored")
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--dispatch", choices=["loop", "scan"], default="loop",
@@ -1935,6 +1938,12 @@ def main(argv=None):
     # the driver-recorded number (default mode on TPU) gets the episode-straddling
     # window schedule by default; explicit flags override
     record_mode = args.mode == "stage1" and jax.default_backend() == "tpu"
+    if args.batch is None:
+        # per-mode reference batch defaults; explicit --batch always wins
+        args.batch = {"stage0": 16, "stage0-breakdown": 16, "stage0-ops": 16,
+                      "cls": 16, "stage2": 4, "stage2-full": 4, "stage2-ops": 4,
+                      "stage2-8b": 2, "stage2-breakdown": 2, "gen": 2,
+                      "stage1-8b": 4}.get(args.mode, 8)
     if args.windows is None:
         args.windows = 4 if record_mode else 3
     if args.window_spacing is None:
@@ -1948,12 +1957,12 @@ def main(argv=None):
                      "pipeline"):
         if args.mode == "stage2-ops":
             result = _run_stage2_ops(
-                min(args.batch, 4), quant_method=args.quant or "int8",
+                args.batch, quant_method=args.quant or "int8",
                 remat=_parse_remat(args.remat, default=False, allow_int=False))
         elif args.mode == "stage1-ops":
             result = _run_stage1_ops(args.batch)
         elif args.mode == "stage0-ops":
-            result = _run_stage0_ops(16 if args.batch == 8 else args.batch,
+            result = _run_stage0_ops(args.batch,
                                      ln=args.ln or "fused")
         elif args.mode == "serve":
             result = _run_serve(args.batch, n_clients=args.serve_clients,
@@ -1963,7 +1972,7 @@ def main(argv=None):
                                 quant_method=args.quant or "none")
         elif args.mode == "stage2-full":
             result = _run_stage2_full(
-                min(args.batch, 4), args.steps, args.warmup, windows=args.windows,
+                args.batch, args.steps, args.warmup, windows=args.windows,
                 spacing=args.window_spacing,
                 # full-joint holds bf16 moments for ~1.3B params; remat keeps the
                 # activation side in budget at the (256, 1024) bucket
@@ -1973,37 +1982,37 @@ def main(argv=None):
         elif args.mode == "ce-check":
             result = _run_ce_check()
         elif args.mode == "stage0-breakdown":
-            result = _run_stage0_breakdown(16 if args.batch == 8 else args.batch,
+            result = _run_stage0_breakdown(args.batch,
                                            args.steps)
         elif args.mode == "stage2-breakdown":
             result = _run_stage2_breakdown(
-                min(args.batch, 2), args.steps, model="qwen3-8b",
+                args.batch, args.steps, model="qwen3-8b",
                 quant_method=args.quant or "int8")
         elif args.mode == "stage0":
             # the global --batch default (8) is stage-1's; stage-0's reference
             # per-device batch is 16. --remat full/dots enables vision-tower remat
             # (needed for batch >= 32); the stage-0 default is none.
             remat0 = _parse_remat(args.remat, default=False, allow_int=True)
-            result = _run_stage0(16 if args.batch == 8 else args.batch,
+            result = _run_stage0(args.batch,
                                  args.steps, args.warmup, remat=remat0,
                                  windows=args.windows, dispatch=args.dispatch,
                                  spacing=args.window_spacing,
                                  ln=args.ln or ("fused" if jax.default_backend() == "tpu" else "xla"))
         elif args.mode == "cls":
-            result = _run_cls(16 if args.batch == 8 else args.batch,
+            result = _run_cls(args.batch,
                               args.steps, args.warmup, windows=args.windows,
                               dispatch=args.dispatch, spacing=args.window_spacing)
         elif args.mode == "pipeline":
             result = _run_pipeline(args.steps, out_size=args.img_size)
         elif args.mode == "gen":
-            result = _run_gen(min(args.batch, 2), args.steps, args.warmup,
+            result = _run_gen(args.batch, args.steps, args.warmup,
                               max_new=args.gen_max_new, beams=args.gen_beams,
                               approx_topk=args.gen_approx_topk,
                               naive_reorder=args.gen_naive_reorder,
                               quant_method=args.quant or "none")
         else:
             model = "qwen3-8b" if args.mode == "stage2-8b" else "gemma3-1b"
-            batch = min(args.batch, 4) if model == "gemma3-1b" else min(args.batch, 2)
+            batch = args.batch
             result = _run_stage2(batch, args.steps, args.warmup, model=model,
                                  quant_method=args.quant or "int8",
                                  lora_dropout=args.lora_dropout,
@@ -2166,9 +2175,9 @@ def main(argv=None):
             prev_value = prev.get("value") or parsed.get("value")
             # matched accounting: rounds before r5 recorded value_intrinsic from the
             # module WALL-SPAN, which the tenant-interleave mode inflates; comparing
-            # the new ops-busy number against it would claim a phantom speedup. Use
-            # ops-busy vs ops-busy when the prior artifact carries it, else span.
-            if prev_intr and prev_acct == "ops-busy" and value_intrinsic:
+            # the new min-ops-span number against it would claim a phantom delta.
+            # Any r5+ accounting marker means the prior intrinsic is ops-derived.
+            if prev_intr and prev_acct in ("ops-busy", "min-ops-span") and value_intrinsic:
                 vs_baseline = value_intrinsic / float(prev_intr)
             elif prev_intr and value_intrinsic_module_span:
                 vs_baseline = value_intrinsic_module_span / float(prev_intr)

@@ -59,26 +59,7 @@ def main(argv=None):
         )
     from projectiontrainer_tpu.parallel import budget as B
 
-    vlm_cfg = None
-    if args.preset == "small-test":
-        from projectiontrainer_tpu.models import decoder as dec
-        from projectiontrainer_tpu.models import projector as proj
-        from projectiontrainer_tpu.models import siglip, vlm
-
-        vis = siglip.VisionConfig(hidden_size=128, intermediate_size=512,
-                                  num_layers=2, num_heads=4, image_size=32,
-                                  patch_size=8)
-        llm = dec.gemma3_config(vocab_size=4096, hidden_size=256,
-                                intermediate_size=768, num_layers=2, num_heads=8,
-                                num_kv_heads=4, head_dim=32, sliding_window=16,
-                                query_pre_attn_scalar=32)
-        vlm_cfg = vlm.VLMConfig(
-            vision=vis,
-            projector=proj.ProjectorConfig(vision_dim=128, llm_dim=256,
-                                           expansion_factor=4),
-            llm=llm,
-        )
-
+    vlm_cfg = B.small_test_vlm_cfg() if args.preset == "small-test" else None
     out = B.full_joint_budget(
         vlm_cfg,
         n_devices=args.n_devices, model_axis=args.model_axis,

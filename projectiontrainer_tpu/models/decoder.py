@@ -331,6 +331,8 @@ def _attention_block(lp, cfg: DecoderConfig, x, sin, cos, *, layer_type,
         q, k.astype(q.dtype), v.astype(q.dtype),
         scale=cfg.attn_scale, causal=True, window=window,
         kv_mask=kv_mask, q_offset=q_offset, impl=cfg.attn_impl,
+        # cache-based calls are decode/prefill — inference-only, never under grad
+        needs_grad=cache is None,
     )
     out = out.reshape(b, t, cfg.num_heads * cfg.head_dim)
     return _proj(lp, "o_proj", out, lora_layer, lora_cfg, lora_rng), new_cache

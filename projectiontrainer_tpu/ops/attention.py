@@ -61,8 +61,14 @@ def dot_product_attention(
     kv_mask: Optional[jnp.ndarray] = None,  # [B, Tk] bool — padding mask on keys
     q_offset=0,
     impl: str = "xla",
+    needs_grad: bool = True,
 ) -> jnp.ndarray:
-    """Attention returning [B, Tq, Hq, D]. GQA when Hq > Hkv (must divide)."""
+    """Attention returning [B, Tq, Hq, D]. GQA when Hq > Hkv (must divide).
+
+    ``needs_grad=False`` promises the call is never differentiated (cache-based
+    decode/prefill) — the flash kernel then sizes its VMEM gate on the forward
+    alone, keeping the transpose-free merged-lane path available at shapes whose
+    backward would not fit."""
     if impl == "flash":
         from projectiontrainer_tpu.ops.flash_attention import (
             flash_attention, flash_attention_supported, sharded_flash_attention,
@@ -73,7 +79,7 @@ def dot_product_attention(
             if jax.device_count() == 1:
                 return flash_attention(
                     q, k, v, scale=scale, causal=causal, window=window,
-                    kv_mask=kv_mask, q_offset=q_offset,
+                    kv_mask=kv_mask, q_offset=q_offset, needs_bwd=needs_grad,
                 )
             # Multi-device: the Pallas kernel has no GSPMD partitioning rules, so it
             # runs ONLY under an explicit shard_map context (set by trainer loss

@@ -576,7 +576,8 @@ def _bwd_dq_lanes_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         dq_ref[0, :, pl.ds(h * dp, dp)] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _lanes_supported(b, t, hq, hkv, d, *, causal, window, kv_mask, bq, bk) -> bool:
+def _lanes_supported(b, t, hq, hkv, d, *, causal, window, kv_mask, bq, bk,
+                     needs_bwd: bool = True) -> bool:
     """Gate for the merged-lane path: the unmasked exact-block tower case."""
     if causal or window is not None or kv_mask is not None:
         return False
@@ -611,7 +612,13 @@ def _lanes_supported(b, t, hq, hkv, d, *, causal, window, kv_mask, bq, bk) -> bo
         + 2 * bk_ * g * dp * out_bytes  # dk + dv output blocks (fp32 under GQA)
         + 2 * t * g * 4               # lse + delta bands, fp32
     ) * 2
-    return max(fwd, bwd_dkv) < 10 * 1024 * 1024
+    # forward-only callers (cache-based decode/prefill — never differentiated)
+    # are gated on the forward estimate alone: requiring the backward to fit
+    # would push long-T inference prefills back to the transpose-heavy BHTD path
+    # for no reason (advisor r5). needs_bwd=False callers MUST be outside any
+    # grad trace: the lanes path still registers a VJP whose dK/dV kernel could
+    # blow scoped VMEM on shapes admitted forward-only.
+    return (max(fwd, bwd_dkv) if needs_bwd else fwd) < 10 * 1024 * 1024
 
 
 def _fwd_lanes(qm, km, vm, *, heads, hkv, dp, bq, bk, interpret=False):
@@ -815,6 +822,7 @@ def flash_attention(
     q, k, v, *, scale: Optional[float] = None, causal: bool = False,
     window: Optional[int] = None, kv_mask=None, q_offset=0,
     bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK, interpret: bool = False,
+    needs_bwd: bool = True,
 ):
     """Drop-in for ops.attention.dot_product_attention on self-attention shapes.
     q/k/v: [B, T, H{q,kv}, D] -> [B, T, Hq, D].
@@ -843,7 +851,7 @@ def flash_attention(
     # the forward (whole-KV + q/o blocks) near 10 MB at the so400m shape
     bq_l = bk_l = min(256, t)
     if _lanes_supported(b, t, hq, hkv, d, causal=causal, window=window,
-                        kv_mask=kv_mask, bq=bq_l, bk=bk_l):
+                        kv_mask=kv_mask, bq=bq_l, bk=bk_l, needs_bwd=needs_bwd):
         # merged-lane path: heads live in 128-aligned lane bands, so no layout
         # transposes exist at the kernel boundary (the BHTD path's swapaxes
         # materialized as 38.8 ms/step of copies in the r4 stage-0 op table)

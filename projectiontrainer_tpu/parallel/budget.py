@@ -71,10 +71,40 @@ def full_joint_4b_vlm_cfg(attn_impl: str = "xla"):
     )
 
 
+def small_test_vlm_cfg():
+    """Reduced-width config for smoking the budget pipeline in seconds — the ONE
+    definition shared by the ``--preset small-test`` CLI path and
+    tests/test_budget.py, so CI covers exactly what the CLI compiles. Widths sit
+    ABOVE the FSDP 64 KiB min-size cutoff (parallel/sharding.py) so the ZeRO-3
+    gather/reduce pattern actually appears in the HLO."""
+    from projectiontrainer_tpu.models import decoder as dec
+    from projectiontrainer_tpu.models import projector as proj
+    from projectiontrainer_tpu.models import siglip, vlm
+
+    vis = siglip.VisionConfig(hidden_size=128, intermediate_size=512, num_layers=2,
+                              num_heads=4, image_size=32, patch_size=8)
+    llm = dec.gemma3_config(vocab_size=4096, hidden_size=256, intermediate_size=768,
+                            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+                            sliding_window=16, query_pre_attn_scalar=32)
+    return vlm.VLMConfig(
+        vision=vis,
+        projector=proj.ProjectorConfig(vision_dim=128, llm_dim=256,
+                                       expansion_factor=4),
+        llm=llm,
+    )
+
+
 def topology_mesh(n_devices: int = 8, model_axis: int = 1):
     """(mesh, kind): a ``('data','model')`` mesh over an AOT v5e topology when the
     installed libtpu supports it, else over virtual/local devices. ``kind`` is
-    'tpu-aot' or the local backend's platform name."""
+    'tpu-aot' or the local backend's platform name.
+
+    WARNING: when local devices are insufficient, the virtual-CPU fallback flips
+    THE WHOLE PROCESS to the CPU platform and clears existing jax backends
+    (invalidating live device arrays) — there is no way to undo a platform
+    switch mid-process in jax. Call this from a dedicated process (the
+    ``projectiontrainer-budget`` CLI, a sweep script); never from inside a
+    training or serving process that still needs its TPU."""
     import numpy as np
 
     import jax
@@ -311,38 +341,38 @@ def full_joint_budget(
             "over_bytes": int(float(m.group(5)) * unit[m.group(6)]),
         }
         compiled = None
-    if compiled is None:
-        # the compiler's own accounting IS the budget answer: report it structurally
-        # instead of dying, so sweeps over operating points can record both sides
-        # of the HBM frontier
-        state_bytes = sum(
-            _leaf_local_bytes(l) for l in jax.tree_util.tree_leaves(state_aval)
-        )
-        return {
-            "kind": kind,
-            "mesh": dict(mesh.shape),
-            "model": "gemma3-4b-full-joint" if vlm_cfg.llm.hidden_size == 2560 else "custom",
-            "batch_global": b,
-            "batch_per_device": batch_per_device,
-            "seq": {"visual": (img // vlm_cfg.vision.patch_size) ** 2 - 1,
-                    "q": q_len, "a": a_len},
-            "master_dtype": master_dtype,
-            "remat": str(remat),
-            "accum_steps": accum_steps,
-            "logits_chunk": logits_chunk,
-            "per_device": {"peak_bytes": oom["used_bytes"]},
-            "state_bytes_per_device": int(state_bytes),
-            "hbm_limit_bytes": V5E_HBM_BYTES,
-            "fits_16gb": False,
-            "oom": oom,
-            "collectives": None,
-        }
-    ma = compiled.memory_analysis()
-    hlo = compiled.as_text()
 
+    # common report; the branches below fill the compile-dependent fields. An OOM
+    # is a RESULT, not an error: the compiler's own accounting answers the budget
+    # question, so sweeps can record both sides of the HBM frontier.
     state_bytes = sum(
         _leaf_local_bytes(l) for l in jax.tree_util.tree_leaves(state_aval)
     )
+    report = {
+        "kind": kind,
+        "mesh": dict(mesh.shape),
+        "model": "gemma3-4b-full-joint" if vlm_cfg.llm.hidden_size == 2560 else "custom",
+        "batch_global": b,
+        "batch_per_device": batch_per_device,
+        "seq": {"visual": (img // vlm_cfg.vision.patch_size) ** 2 - 1,
+                "q": q_len, "a": a_len},
+        "master_dtype": master_dtype,
+        "remat": str(remat),
+        "accum_steps": accum_steps,
+        "logits_chunk": logits_chunk,
+        "state_bytes_per_device": int(state_bytes),
+        "hbm_limit_bytes": V5E_HBM_BYTES,
+        "oom": oom,
+    }
+    if compiled is None:
+        report.update(
+            per_device={"peak_bytes": oom["used_bytes"]},
+            fits_16gb=False,
+            collectives=None,
+        )
+        return report
+
+    ma = compiled.memory_analysis()
     per_device = {}
     if ma is not None:
         per_device = {
@@ -359,26 +389,13 @@ def full_joint_budget(
                     + ma.output_size_in_bytes - ma.alias_size_in_bytes
                     + ma.generated_code_size_in_bytes)
         per_device["peak_bytes"] = int(peak)
-    return {
-        "kind": kind,
-        "mesh": dict(mesh.shape),
-        "model": "gemma3-4b-full-joint" if vlm_cfg.llm.hidden_size == 2560 else "custom",
-        "batch_global": b,
-        "batch_per_device": batch_per_device,
-        "seq": {"visual": (img // vlm_cfg.vision.patch_size) ** 2 - 1,
-                "q": q_len, "a": a_len},
-        "master_dtype": master_dtype,
-        "remat": str(remat),
-        "accum_steps": accum_steps,
-        "logits_chunk": logits_chunk,
-        "per_device": per_device,
-        "state_bytes_per_device": int(state_bytes),
-        "hbm_limit_bytes": V5E_HBM_BYTES,
-        "fits_16gb": bool(per_device.get("peak_bytes", 0) < V5E_HBM_BYTES)
+    report.update(
+        per_device=per_device,
+        fits_16gb=bool(per_device.get("peak_bytes", 0) < V5E_HBM_BYTES)
         if per_device else None,
-        "oom": None,
-        "collectives": collective_inventory(hlo),
-    }
+        collectives=collective_inventory(compiled.as_text()),
+    )
+    return report
 
 
 def _leaf_local_bytes(aval) -> int:

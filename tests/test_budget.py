@@ -28,28 +28,13 @@ _RUN_4B = os.environ.get("PT_RUN_4B_BUDGET") == "1"
 def test_budget_pipeline_tiny():
     """The full budget pipeline (abstract params -> FSDP shardings -> AOT compile ->
     memory analysis -> collective inventory) at small widths on the virtual mesh —
-    the always-on guard that the tool itself works. Widths sit ABOVE the FSDP
-    64 KiB min-size cutoff (parallel/sharding.py) so the layout actually shards
-    and the ZeRO-3 gather/reduce pattern appears in the HLO; a truly tiny config
-    would be all-replicated by design and prove nothing."""
-    from projectiontrainer_tpu.models import decoder as dec
-    from projectiontrainer_tpu.models import projector as proj
-    from projectiontrainer_tpu.models import siglip, vlm
-
-    vis = siglip.VisionConfig(hidden_size=128, intermediate_size=512, num_layers=2,
-                              num_heads=4, image_size=32, patch_size=8)
-    llm = dec.gemma3_config(vocab_size=4096, hidden_size=256, intermediate_size=768,
-                            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
-                            sliding_window=16, query_pre_attn_scalar=32)
-    cfg = vlm.VLMConfig(
-        vision=vis,
-        projector=proj.ProjectorConfig(vision_dim=128, llm_dim=256,
-                                       expansion_factor=4),
-        llm=llm,
-    )
+    the always-on guard that the tool itself works, on THE SAME config the
+    ``projectiontrainer-budget --preset small-test`` CLI compiles (one shared
+    definition; its widths sit above the FSDP 64 KiB min-size cutoff so the
+    ZeRO-3 gather/reduce pattern actually appears in the HLO)."""
     out = budget.full_joint_budget(
-        cfg, n_devices=8, batch_per_device=1, q_len=8, a_len=16,
-        accum_steps=2, logits_chunk=32, remat="none",
+        budget.small_test_vlm_cfg(), n_devices=8, batch_per_device=1, q_len=8,
+        a_len=16, accum_steps=2, logits_chunk=32, remat="none",
     )
     assert out["mesh"] == {"data": 8, "model": 1}
     assert out["oom"] is None
